@@ -1,0 +1,221 @@
+"""Pure evaluation functions over a `DisortSolution`.
+
+The reference returns Python closures (``u``, ``u0``, ``flux_up``,
+``flux_down``; reference ``_assemble_intensity_and_fluxes.py:166-619``)
+capturing the solved spectral data.  Here each is a pure, jittable
+function of ``(solution, probe points)`` — vmap over a batched solution
+evaluates whole column/band batches at once.  A thin wrapper in
+``api.py`` rebuilds the reference's closure-based interface.
+
+Conventions (matching the reference):
+- ``tau`` probe points are 1-D; outputs keep a trailing tau axis.
+- The first ``N`` rows of intensity outputs are upward (positive mu,
+  ascending), the last ``N`` downward.
+- ``antiderivative=True`` evaluates the exact tau-antiderivative of
+  the output (the reference's ``is_antiderivative_wrt_tau``).
+- All outputs are already multiplied by the internal rescale factor,
+  i.e. they are in physical units.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+
+from .solve import iso_poly_eval
+from .types import DisortSolution
+
+
+def _layer_index(sol: DisortSolution, tau):
+    """Layer index of each tau: tau in (tau_{l-1}, tau_l] -> l."""
+    l = jnp.searchsorted(sol.tau_arr, tau, side="left")
+    return jnp.clip(l, 0, sol.config.nlayers - 1)
+
+
+def _scaled_tau(sol: DisortSolution, tau, l):
+    """Delta-M re-scaling of user tau (reference _assemble...py:190-195)."""
+    if not sol.config.has_deltam:
+        return tau
+    bot = sol.scaled_tau_with_0[1:][l]
+    return bot - (sol.tau_arr[l] - tau) * sol.scale_tau[l]
+
+
+def _exponent(sol, l, scaled_tau, K):
+    """Overflow-free homogeneous exponents, anchored per column sign.
+
+    Negative-K columns anchor at the layer top, positive-K at the layer
+    bottom, so every exponent is <= 0 (reference _assemble...py:197-203).
+    ``K``: (..., L, 2N) -> returns (..., Ntau, 2N).
+    """
+    N = sol.config.n
+    top = sol.scaled_tau_with_0[l]
+    bot = sol.scaled_tau_with_0[1:][l]
+    Kl = K[..., l, :]
+    return jnp.concatenate(
+        [
+            Kl[..., :N] * (scaled_tau - top)[..., :, None],
+            Kl[..., N:] * (scaled_tau - bot)[..., :, None],
+        ],
+        axis=-1,
+    )
+
+
+def _iso_contribution(sol, l, scaled_tau, rows, antiderivative):
+    """Iso-source particular solution at probe points; (Ntau, R)."""
+    b_rows = sol.mathscr_b[l][:, rows, :]
+    return iso_poly_eval(
+        b_rows, scaled_tau, sol.scale_tau[l], antiderivative
+    )
+
+
+def u0(sol: DisortSolution, tau, antiderivative: bool = False):
+    """Zeroth Fourier intensity mode; (2N, Ntau).
+
+    Capability parity: reference ``_assemble...py:334-433``.
+    """
+    cfg = sol.config
+    tau = jnp.atleast_1d(tau)
+    l = _layer_index(sol, tau)
+    st = _scaled_tau(sol, tau, l)
+    expo = jnp.exp(_exponent(sol, l, st, sol.K[0]))
+    if antiderivative:
+        expo = expo / (sol.scale_tau[l, None] * sol.K[0][l])
+    out = jnp.einsum("tij,tj->it", sol.GC[0][l], expo)
+    if cfg.has_beam:
+        beam = sol.B[0].T[:, l] * jnp.exp(-st / sol.mu0)[None, :]
+        if antiderivative:
+            beam = beam / (-sol.scale_tau / sol.mu0)[None, l]
+        out = out + beam
+    if cfg.has_iso:
+        out = out + _iso_contribution(
+            sol, l, st, slice(None), antiderivative
+        ).T
+    return sol.rescale_factor * out
+
+
+def act_dscale_reclassification(sol: DisortSolution, tau, antiderivative=False):
+    """Delta-scaling reclassification term for downward actinic flux.
+
+    Reference ``_assemble...py:358-371``.  NOTE: to match the reference
+    bit-for-bit this term uses the internally rescaled beam intensity
+    and is NOT multiplied by the rescale factor (reference
+    ``subroutines.py:301-316`` adds it to already-rescaled output).
+    """
+    tau = jnp.atleast_1d(tau)
+    if not sol.config.has_deltam or not sol.config.has_beam:
+        return jnp.zeros_like(tau)
+    l = _layer_index(sol, tau)
+    st = _scaled_tau(sol, tau, l)
+    I0, mu0 = sol.I0, sol.mu0
+    if antiderivative:
+        return I0 * jnp.exp(-st / mu0) / (-sol.scale_tau[l] / mu0) - (
+            I0 * jnp.exp(-tau / mu0) * -mu0
+        )
+    return I0 * jnp.exp(-st / mu0) - I0 * jnp.exp(-tau / mu0)
+
+
+def _u0_half(sol, tau, rows_slice, antiderivative):
+    """Shared core of the flux functions: one hemisphere of u0 (pre-2pi)."""
+    cfg = sol.config
+    N = cfg.n
+    l = _layer_index(sol, tau)
+    st = _scaled_tau(sol, tau, l)
+    expo = jnp.exp(_exponent(sol, l, st, sol.K[0]))
+    if antiderivative:
+        expo = expo / (sol.scale_tau[l, None] * sol.K[0][l])
+    GC_half = sol.GC[0][:, rows_slice, :]
+    out = jnp.einsum("tij,tj->it", GC_half[l], expo)
+    if cfg.has_beam:
+        Bh = sol.B[0][:, rows_slice].T
+        beam = Bh[:, l] * jnp.exp(-st / sol.mu0)[None, :]
+        if antiderivative:
+            beam = beam / (-sol.scale_tau / sol.mu0)[None, l]
+        out = out + beam
+    if cfg.has_iso:
+        out = out + _iso_contribution(sol, l, st, rows_slice, antiderivative).T
+    return out, l, st
+
+
+def flux_up(sol: DisortSolution, tau, antiderivative: bool = False):
+    """Upward diffuse flux; (Ntau,).  Reference ``_assemble...py:446-524``."""
+    tau = jnp.atleast_1d(tau)
+    N = sol.config.n
+    u0_pos, _, _ = _u0_half(sol, tau, slice(0, N), antiderivative)
+    flux = 2.0 * math.pi * (sol.mu_arr_pos * sol.W) @ u0_pos
+    return sol.rescale_factor * flux
+
+
+def flux_down(sol: DisortSolution, tau, antiderivative: bool = False):
+    """Downward (diffuse, direct) fluxes; each (Ntau,).
+
+    Reference ``_assemble...py:527-613`` including the delta-M
+    reclassification of the direct beam into the diffuse flux.
+    """
+    cfg = sol.config
+    tau = jnp.atleast_1d(tau)
+    N = cfg.n
+    u0_neg, l, st = _u0_half(sol, tau, slice(N, 2 * N), antiderivative)
+    diffuse = 2.0 * math.pi * (sol.mu_arr_pos * sol.W) @ u0_neg
+    direct = jnp.zeros_like(tau)
+    if cfg.has_beam:
+        I0, mu0 = sol.I0, sol.mu0
+        if antiderivative:
+            direct = I0 * mu0 * jnp.exp(-tau / mu0) * -mu0
+            direct_scaled = I0 * mu0 * jnp.exp(-st / mu0) / (
+                -sol.scale_tau / mu0
+            )[l]
+        else:
+            direct = I0 * mu0 * jnp.exp(-tau / mu0)
+            direct_scaled = I0 * mu0 * jnp.exp(-st / mu0)
+        diffuse = diffuse + direct_scaled - direct
+    return sol.rescale_factor * diffuse, sol.rescale_factor * direct
+
+
+def u(
+    sol: DisortSolution,
+    tau,
+    phi,
+    antiderivative: bool = False,
+    return_fourier_error: bool = False,
+):
+    """Full intensity; (2N, Ntau, Nphi).
+
+    Fourier cosine synthesis over all modes (reference
+    ``_assemble...py:170-330``).  With ``return_fourier_error`` also
+    returns the last-mode Cauchy convergence estimate (scalar).
+    """
+    cfg = sol.config
+    tau = jnp.atleast_1d(tau)
+    phi = jnp.atleast_1d(phi)
+    NF = cfg.nfourier
+    l = _layer_index(sol, tau)
+    st = _scaled_tau(sol, tau, l)
+    expo = jnp.exp(_exponent(sol, l, st, sol.K))        # (NF, Ntau, 2N)
+    if antiderivative:
+        expo = expo / (sol.scale_tau[None, l, None] * sol.K[:, l, :])
+    um = jnp.einsum("mtij,mtj->mit", sol.GC[:, l, :, :], expo)
+    if cfg.has_beam:
+        beam = sol.B.transpose(0, 2, 1)[:, :, l] * jnp.exp(-st / sol.mu0)[None, None, :]
+        if antiderivative:
+            beam = beam / (-sol.scale_tau / sol.mu0)[None, None, l]
+        um = um + beam
+    if cfg.has_iso:
+        um = um.at[0].add(_iso_contribution(sol, l, st, slice(None), antiderivative).T)
+
+    cosines = jnp.cos(
+        jnp.arange(NF, dtype=tau.dtype)[:, None] * (sol.phi0 - phi)[None, :]
+    )
+    out = jnp.einsum("mit,mp->itp", um, cosines)
+    result = sol.rescale_factor * out
+    if not return_fourier_error:
+        return result
+    ulast = um[-1]                                       # (2N, Ntau)
+    last_term = jnp.abs(
+        ulast[:, :, None] * jnp.cos((NF - 1) * (sol.phi0 - phi))[None, None, :]
+    )
+    u_abs = jnp.abs(out)
+    fourier_error = jnp.max(
+        jnp.where(u_abs > 1e-8, last_term / jnp.where(u_abs > 1e-8, u_abs, 1.0), 0.0)
+    )
+    return result, fourier_error
