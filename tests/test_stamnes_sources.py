@@ -1,0 +1,186 @@
+"""Golden-file verification: source-heavy families 6 and 7.
+
+Longwave ladder (no scattering, BDRF/blackbody/internal-emission
+sources; reference ``pydisotest/6_test.py``) and combined
+absorption+scattering+all-sources cases (``7_test.py``).
+"""
+
+from math import pi
+
+import numpy as np
+import pytest
+
+from pythonic_disort_tpu.subroutines import (
+    blackbody_contrib_to_BCs,
+    generate_emissivity_from_BDRF,
+    generate_s_poly_coeffs,
+)
+from helpers import run_and_compare
+from test_stamnes import hapke_bdrf_modes, iso_phase
+
+LAMBERTIAN_HALF = [lambda mu, neg_mup: np.full((len(mu), len(neg_mup)), 0.5)]
+
+
+def _base6(**over):
+    kw = dict(
+        tau_arr=1, omega_arr=0, NQuad=16, Leg_coeffs_all=iso_phase(17),
+        mu0=0.5, I0=200, phi0=0,
+    )
+    kw.update(over)
+    return kw
+
+
+def _hapke16():
+    return hapke_bdrf_modes(16)
+
+
+def _emissive_bcs(modes, BTEMP=300, TTEMP=250, lo=0, hi=50000):
+    emissivity = generate_emissivity_from_BDRF(8, modes[0])
+    b_pos = emissivity * blackbody_contrib_to_BCs(BTEMP, lo, hi)
+    b_neg = blackbody_contrib_to_BCs(TTEMP, lo, hi) + 100 / pi
+    return b_pos, b_neg
+
+
+CASES = {
+    "6b": lambda: dict(kwargs=_base6(), intensity=True),
+    "6c": lambda: dict(
+        kwargs=_base6(BDRF_Fourier_modes=LAMBERTIAN_HALF), intensity=True
+    ),
+    "6d": lambda: dict(
+        kwargs=_base6(BDRF_Fourier_modes=_hapke16(), only_flux=True),
+        intensity=False,
+    ),
+}
+
+
+def _case_6e():
+    modes = _hapke16()
+    emissivity = generate_emissivity_from_BDRF(8, modes[0])
+    b_pos = emissivity * blackbody_contrib_to_BCs(300, 0, 50000)
+    return dict(
+        kwargs=_base6(BDRF_Fourier_modes=modes, b_pos=b_pos, only_flux=True),
+        intensity=False,
+    )
+
+
+def _case_6f():
+    modes = _hapke16()
+    b_pos, b_neg = _emissive_bcs(modes)
+    return dict(
+        kwargs=_base6(
+            BDRF_Fourier_modes=modes, b_pos=b_pos, b_neg=b_neg, only_flux=True
+        ),
+        intensity=False,
+    )
+
+
+def _case_6g(tau=1):
+    modes = _hapke16()
+    b_pos, b_neg = _emissive_bcs(modes)
+    s_poly = generate_s_poly_coeffs(tau, np.array([250, 300]), 0, 50000)
+    return dict(
+        kwargs=_base6(
+            tau_arr=tau, BDRF_Fourier_modes=modes, b_pos=b_pos, b_neg=b_neg,
+            s_poly_coeffs=s_poly, only_flux=True,
+        ),
+        intensity=False,
+    )
+
+
+CASES["6e"] = _case_6e
+CASES["6f"] = _case_6f
+CASES["6g"] = _case_6g
+CASES["6h"] = lambda: _case_6g(tau=10)
+
+
+def _case_7a():
+    s_poly = generate_s_poly_coeffs(1, np.array([200, 300]), 300, 800)
+    return dict(
+        kwargs=dict(
+            tau_arr=1, omega_arr=0.1, NQuad=16,
+            Leg_coeffs_all=0.05 ** np.arange(17), mu0=0, I0=0, phi0=0,
+            s_poly_coeffs=s_poly,
+        )
+    )
+
+
+def _case_7b():
+    s_poly = generate_s_poly_coeffs(100, np.array([200, 300]), 2702.99, 2703.01)
+    return dict(
+        kwargs=dict(
+            tau_arr=100, omega_arr=0.95, NQuad=16,
+            Leg_coeffs_all=0.75 ** np.arange(17), mu0=0, I0=0, phi0=0,
+            s_poly_coeffs=s_poly,
+        )
+    )
+
+
+def _sources7():
+    s_poly = generate_s_poly_coeffs(
+        1, np.array([300, 200]), 0, 80000, epsrel=1e-15
+    )
+    b_pos = blackbody_contrib_to_BCs(320, 0, 80000, epsrel=1e-15)
+    b_neg = blackbody_contrib_to_BCs(100, 0, 80000, epsrel=1e-15) + 100
+    return s_poly, b_pos, b_neg
+
+
+def _base7():
+    leg = 0.8 ** np.arange(24)
+    return dict(
+        tau_arr=1, omega_arr=0.5, NQuad=12, Leg_coeffs_all=leg,
+        mu0=0.5, I0=200, phi0=0,
+    )
+
+
+def _case_7c():
+    s_poly, b_pos, b_neg = _sources7()
+    kw = _base7()
+    kw.update(
+        s_poly_coeffs=s_poly, b_pos=b_pos, b_neg=b_neg,
+        f_arr=kw["Leg_coeffs_all"][12], NT_cor=True,
+    )
+    return dict(kwargs=kw)
+
+
+def _case_7d():
+    s_poly, _, b_neg = _sources7()
+    kw = _base7()
+    kw.update(
+        s_poly_coeffs=s_poly, b_neg=b_neg,
+        BDRF_Fourier_modes=[
+            lambda mu, neg_mup: np.full((len(mu), len(neg_mup)), 1.0)
+        ],
+        f_arr=kw["Leg_coeffs_all"][12], NT_cor=True,
+    )
+    return dict(kwargs=kw)
+
+
+def _case_7e():
+    s_poly, _, b_neg = _sources7()
+    modes = hapke_bdrf_modes(12)
+    emissivity = generate_emissivity_from_BDRF(6, modes[0])
+    b_pos = emissivity * blackbody_contrib_to_BCs(320, 0, 80000)
+    kw = _base7()
+    kw.update(
+        s_poly_coeffs=s_poly, b_pos=b_pos, b_neg=b_neg,
+        BDRF_Fourier_modes=modes,
+        f_arr=kw["Leg_coeffs_all"][12], only_flux=True,
+    )
+    return dict(kwargs=kw, intensity=False)
+
+
+CASES["7a"] = _case_7a
+CASES["7b"] = _case_7b
+CASES["7c"] = _case_7c
+CASES["7d"] = _case_7d
+CASES["7e"] = _case_7e
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_stamnes_source_case(name):
+    case = CASES[name]()
+    run_and_compare(
+        name, case["kwargs"],
+        case.get("deg_around_beam", 0),
+        case.get("intensity", True),
+    )
