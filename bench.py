@@ -1,0 +1,131 @@
+"""Headline benchmark: columns/s/chip for the pod-scale sweep config.
+
+Config per BASELINE.json north star: 64 layers, NQuad=32, 128 spectral
+bands per column, flux-only shortwave solve with delta-M scaling,
+float32 on device.  Prints ONE JSON line:
+``{"metric", "value", "unit", "vs_baseline"}``.
+
+``vs_baseline`` is measured live against the reference implementation
+(PythonicDISORT, pure NumPy/SciPy on the host CPU) running the same
+per-column problem, when the reference is importable; otherwise it
+falls back to the reference's published flux-only timing scaled to this
+config (BASELINE.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NCOLS = 64
+NBANDS = 128
+NLAYERS = 64
+NQUAD = 32
+REPS = 5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_batch(dtype):
+    import jax.numpy as jnp
+    from pythonic_disort_tpu import DisortConfig
+    from pythonic_disort_tpu.parallel import make_batched_problem
+
+    rng = np.random.default_rng(42)
+    B = NCOLS * NBANDS
+    nleg = NQUAD
+    nleg_all = NQUAD + 1
+    thickness = rng.uniform(0.05, 0.5, (B, NLAYERS))
+    tau = np.cumsum(thickness, axis=1)
+    omega = rng.uniform(0.3, 0.99, (B, NLAYERS))
+    g = rng.uniform(0.5, 0.85, (B, NLAYERS))
+    leg = g[..., None] ** np.arange(nleg_all)[None, None, :]
+    f_arr = leg[..., NQUAD]
+    mu0 = rng.uniform(0.2, 1.0, B)
+    I0 = np.full(B, np.pi)
+    config = DisortConfig(
+        nquad=NQUAD, nleg=nleg, nleg_all=nleg_all, nfourier=1,
+        nlayers=NLAYERS, nscoeffs=0, nbdrf=0, has_beam=True,
+        only_flux=True, has_deltam=True,
+    )
+    problem = make_batched_problem(
+        config, tau, omega, leg, mu0, I0, f_arr=f_arr, dtype=dtype
+    )
+    tau_eval = jnp.asarray(tau, dtype)
+    return problem, tau_eval
+
+
+def bench_ours():
+    import jax
+    import jax.numpy as jnp
+    from pythonic_disort_tpu.parallel import solve_fluxes
+
+    problem, tau_eval = build_batch(jnp.float32)
+    fused = jax.jit(solve_fluxes)
+    log(f"devices: {jax.devices()}")
+    t0 = time.perf_counter()
+    out = fused(problem, tau_eval)
+    jax.block_until_ready(out)
+    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = fused(problem, tau_eval)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    cols_per_s = NCOLS / best
+    log(f"steady-state: {best*1e3:.1f} ms for {NCOLS} cols x {NBANDS} bands "
+        f"-> {cols_per_s:.2f} columns/s/chip ({NCOLS*NBANDS/best:.0f} solves/s)")
+    return cols_per_s
+
+
+def bench_reference():
+    """Reference columns/s on host CPU for the same config (1 column =
+    128 sequential band solves), or None if unavailable."""
+    try:
+        sys.path.insert(0, "/root/reference/src")
+        from PythonicDISORT import pydisort
+    except Exception as e:
+        log(f"reference unavailable: {e}")
+        return None
+    rng = np.random.default_rng(42)
+    thickness = rng.uniform(0.05, 0.5, NLAYERS)
+    tau = np.cumsum(thickness)
+    omega = rng.uniform(0.3, 0.99, NLAYERS)
+    g = rng.uniform(0.5, 0.85, NLAYERS)
+    leg = g[:, None] ** np.arange(NQUAD + 1)[None, :]
+    t0 = time.perf_counter()
+    n = 5
+    for _ in range(n):
+        pydisort(
+            tau, omega, NQUAD, leg, 0.8, np.pi, 0.0,
+            f_arr=leg[:, NQUAD], only_flux=True,
+        )
+    per_solve = (time.perf_counter() - t0) / n
+    ref_cols_per_s = 1.0 / (per_solve * NBANDS)
+    log(f"reference: {per_solve*1e3:.1f} ms/solve -> {ref_cols_per_s:.4f} columns/s")
+    return ref_cols_per_s
+
+
+def main():
+    cols_per_s = bench_ours()
+    ref = bench_reference()
+    if ref is None:
+        # BASELINE.md: flux-only+delta-M 16 layers NQuad=16 = 7.47 ms;
+        # scale ~linearly in layers and ~x4 in quadrature work.
+        ref = 1.0 / (0.00747 * (NLAYERS / 16) * 4 * NBANDS)
+    print(json.dumps({
+        "metric": "columns/s/chip (64 layers, NQuad=32, 128 bands, flux-only f32)",
+        "value": round(cols_per_s, 3),
+        "unit": "columns/s",
+        "vs_baseline": round(cols_per_s / ref, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Batched (columns x bands) solves: the framework's production path.
+
+The reference solves one column at one band per call (SURVEY section
+2.4); here a whole batch is one compiled program: `solve` vmaps over
+the leading axis of a `DisortProblem` whose array leaves carry a batch
+dimension, and the flux evaluators vmap over the resulting batched
+`DisortSolution`.  Combined with `parallel.mesh`, the batch axis shards
+over a TPU pod slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.disort import eval as ev
+from ..models.disort.solve import solve
+from ..models.disort.types import DisortConfig, DisortProblem
+
+solve_batch = jax.vmap(solve)
+
+
+def make_batched_problem(
+    config: DisortConfig,
+    tau_arr,            # (B, L)
+    omega_arr,          # (B, L)
+    leg_coeffs_all,     # (B, L, nleg_all)
+    mu0,                # (B,)
+    I0,                 # (B,)
+    phi0=None,          # (B,) or None -> zeros
+    f_arr=None,         # (B, L) or None -> zeros
+    b_pos=None,         # (B, N, NF) or None -> zeros
+    b_neg=None,
+    s_poly_coeffs=None,  # (B, L, Ns) or None
+    bdrf_modes=None,     # (B, NB, N, N) or None
+    bdrf_modes_mu0=None,
+    dtype=jnp.float32,
+) -> DisortProblem:
+    """Assemble a batched problem pytree (leading axis = batch)."""
+    B, L = np.shape(tau_arr)
+    N, NF = config.n, config.nfourier
+
+    def _arr(x, shape):
+        if x is None:
+            return jnp.zeros((B,) + shape, dtype)
+        return jnp.asarray(x, dtype)
+
+    return DisortProblem(
+        config=config,
+        tau_arr=jnp.asarray(tau_arr, dtype),
+        omega_arr=jnp.asarray(omega_arr, dtype),
+        leg_coeffs_all=jnp.asarray(leg_coeffs_all, dtype),
+        f_arr=_arr(f_arr, (L,)),
+        mu0=_arr(mu0, ()),
+        I0=_arr(I0, ()),
+        phi0=_arr(phi0, ()),
+        b_pos=_arr(b_pos, (N, NF)),
+        b_neg=_arr(b_neg, (N, NF)),
+        s_poly_coeffs=_arr(
+            s_poly_coeffs, (L, max(config.nscoeffs, 1))
+        ),
+        bdrf_modes=_arr(bdrf_modes, (max(config.nbdrf, 1), N, N)),
+        bdrf_modes_mu0=_arr(bdrf_modes_mu0, (max(config.nbdrf, 1), N)),
+    )
+
+
+def fluxes_at(sol, tau):
+    """(flux_up, flux_down_diffuse, flux_down_direct) at per-batch taus.
+
+    ``sol``: batched solution; ``tau``: (B, Ntau).
+    """
+    fup = jax.vmap(ev.flux_up, in_axes=(0, 0))(sol, tau)
+    fdn, fdir = jax.vmap(ev.flux_down, in_axes=(0, 0))(sol, tau)
+    return fup, fdn, fdir
+
+
+def solve_fluxes(problem: DisortProblem, tau_eval):
+    """One fused program: batched solve + flux evaluation.
+
+    ``tau_eval``: (B, Ntau) probe depths (typically layer boundaries,
+    for heating-rate calculations).  This is the flagship production
+    entry point for pod-scale shortwave/longwave sweeps.
+    """
+    sol = solve_batch(problem)
+    return fluxes_at(sol, tau_eval)
+
+
+def global_flux_stats(fup, axis_name=None):
+    """Example cross-batch diagnostic; with ``axis_name`` reduces over a
+    mesh axis via a collective (psum), otherwise over the local batch."""
+    total = jnp.sum(fup)
+    count = jnp.asarray(np.prod(fup.shape), fup.dtype)
+    if axis_name is not None:
+        total = jax.lax.psum(total, axis_name)
+        count = jax.lax.psum(count, axis_name)
+    return total / count
