@@ -18,24 +18,27 @@ import time
 
 import numpy as np
 
-NCOLS = 64
+import os
+
+NCOLS = int(os.environ.get("BENCH_COLS", 64))
+CHUNK_COLS = int(os.environ.get("BENCH_CHUNK_COLS", 16))
 NBANDS = 128
 NLAYERS = 64
 NQUAD = 32
-REPS = 5
+REPS = 3
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_batch(dtype):
+def build_batch(dtype, ncols):
     import jax.numpy as jnp
     from pythonic_disort_tpu import DisortConfig
     from pythonic_disort_tpu.parallel import make_batched_problem
 
     rng = np.random.default_rng(42)
-    B = NCOLS * NBANDS
+    B = ncols * NBANDS
     nleg = NQUAD
     nleg_all = NQUAD + 1
     thickness = rng.uniform(0.05, 0.5, (B, NLAYERS))
@@ -59,28 +62,39 @@ def build_batch(dtype):
 
 
 def bench_ours():
+    """Time NCOLS columns processed in HBM-sized chunks of CHUNK_COLS
+    (the sweep driver's production pattern)."""
     import jax
     import jax.numpy as jnp
     from pythonic_disort_tpu.parallel import solve_fluxes
 
-    problem, tau_eval = build_batch(jnp.float32)
-    fused = jax.jit(solve_fluxes)
+    problem, tau_eval = build_batch(jnp.float32, CHUNK_COLS)
+
+    # Reduce outputs to one scalar on device; sync by fetching it
+    # (block_until_ready does not reliably block through remote runtimes).
+    def step(problem, tau_eval):
+        fup, fdn, fdir = solve_fluxes(problem, tau_eval)
+        return fup.sum() + fdn.sum() + fdir.sum()
+
+    fused = jax.jit(step)
     log(f"devices: {jax.devices()}")
     t0 = time.perf_counter()
-    out = fused(problem, tau_eval)
-    jax.block_until_ready(out)
+    float(np.asarray(fused(problem, tau_eval)))
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
 
+    n_chunks = max(NCOLS // CHUNK_COLS, 1)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        out = fused(problem, tau_eval)
-        jax.block_until_ready(out)
+        outs = [fused(problem, tau_eval) for _ in range(n_chunks)]
+        for o in outs:
+            float(np.asarray(o))
         times.append(time.perf_counter() - t0)
     best = min(times)
-    cols_per_s = NCOLS / best
-    log(f"steady-state: {best*1e3:.1f} ms for {NCOLS} cols x {NBANDS} bands "
-        f"-> {cols_per_s:.2f} columns/s/chip ({NCOLS*NBANDS/best:.0f} solves/s)")
+    ncols_eff = n_chunks * CHUNK_COLS
+    cols_per_s = ncols_eff / best
+    log(f"steady-state: {best*1e3:.1f} ms for {ncols_eff} cols x {NBANDS} bands "
+        f"-> {cols_per_s:.2f} columns/s/chip ({ncols_eff*NBANDS/best:.0f} solves/s)")
     return cols_per_s
 
 
