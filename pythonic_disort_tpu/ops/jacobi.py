@@ -1,0 +1,144 @@
+"""Batched symmetric eigendecomposition via parallel-ordering Jacobi.
+
+XLA's generic ``eigh`` is built for large single matrices; on the
+discrete-ordinates workload — enormous batches of tiny (N/2 x N/2)
+SPD matrices — it dominates the whole solve (measured ~1.7 s for
+65536 x 16 x 16 f32 on a v5e chip vs ~27 ms for a batched matmul of
+the same footprint).
+
+The root cause is layout: any (..., 16, 16) tensor pads its trailing
+dimension to the 128-lane TPU tile, wasting 8x memory traffic on every
+operation.  This solver therefore runs in a **batch-in-lanes** layout:
+the matrix plane is transposed to (N, N, B) so the huge batch axis
+occupies the lanes and every Givens rotation is an elementwise op on
+(N/2, N, B) slices with *static* row indices:
+
+- a round applies N/2 disjoint rotations (round-robin tournament
+  schedule, static per round) to rows then columns;
+- a sweep is N-1 rounds covering all N(N-1)/2 pairs; rounds and sweeps
+  are unrolled in Python (all indexing static — no gathers);
+- fixed sweep count by dtype (quadratic convergence; ~9 sweeps reach
+  f64 machine precision for N <= 32).
+
+Jacobi is also the *most accurate* dense symmetric eigensolver (tiny
+relative error even in small eigenvalues), which matters for the
+near-conservative-scattering limit where the smallest K^2 -> 0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def _round_robin_schedule(n):
+    """(n-1) rounds of n/2 disjoint pairs covering all pairs once."""
+    assert n % 2 == 0
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        pairs = [(players[i], players[n - 1 - i]) for i in range(n // 2)]
+        rounds.append([(min(a, b), max(a, b)) for a, b in pairs])
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    arr = np.array(rounds)
+    return arr[..., 0], arr[..., 1]
+
+
+def default_sweeps(n, dtype):
+    if jnp.dtype(dtype) == jnp.float64:
+        return 9 if n <= 32 else 12
+    return 6 if n <= 32 else 8
+
+
+def _inv_perm(p, q, n):
+    perm = np.concatenate([p, q])
+    inv = np.empty(n, dtype=np.int64)
+    inv[perm] = np.arange(n)
+    return inv
+
+
+def jacobi_eigh(A, sweeps=None):
+    """Eigendecomposition of symmetric ``A`` (..., N, N), batched.
+
+    Returns ``(w, V)`` with eigenvalues ascending and ``A = V w V^T``.
+    Drop-in replacement for ``jnp.linalg.eigh`` on large batches of
+    small matrices.
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    dtype = A.dtype
+    if sweeps is None:
+        sweeps = default_sweeps(n, dtype)
+    batch_shape = A.shape[:-2]
+
+    p_sched, q_sched = _round_robin_schedule(n)
+    rounds = [
+        (tuple(p_sched[r]), tuple(q_sched[r]),
+         tuple(_inv_perm(p_sched[r], q_sched[r], n)))
+        for r in range(n - 1)
+    ]
+
+    # Batch-in-lanes layout: (N, N, B)
+    At = jnp.moveaxis(A.reshape((-1, n, n)), 0, -1)
+    B = At.shape[-1]
+    Vt = jnp.zeros_like(At).at[jnp.arange(n), jnp.arange(n), :].set(1.0)
+
+    def one_sweep(carry, _):
+        At, Vt = carry
+        for p, q, inv in rounds:
+            pj = list(p)
+            qj = list(q)
+            # Rotation parameters from the pivots (all static indexing)
+            app = At[pj, pj, :]                    # (n/2, B)
+            aqq = At[qj, qj, :]
+            apq = At[pj, qj, :]
+            theta = (aqq - app) * 0.5
+            denom = jnp.abs(theta) + jnp.sqrt(theta * theta + apq * apq)
+            sgn = jnp.where(theta >= 0, 1.0, -1.0).astype(dtype)
+            t = jnp.where(
+                jnp.abs(apq) > 0,
+                sgn * apq / jnp.where(denom > 0, denom, 1.0),
+                jnp.zeros_like(apq),
+            )
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            crow = c[:, None, :]                   # rows: (n/2, 1, B)
+            srow = s[:, None, :]
+            ccol = c[None, :, :]                   # cols: (1, n/2, B)
+            scol = s[None, :, :]
+
+            # Row rotation: A <- R^T A
+            Ap = At[pj, :, :]                      # (n/2, n, B)
+            Aq = At[qj, :, :]
+            new_p = crow * Ap - srow * Aq
+            new_q = srow * Ap + crow * Aq
+            At = jnp.concatenate([new_p, new_q], axis=0)[list(inv), :, :]
+
+            # Column rotation: A <- A R
+            Ap = At[:, pj, :]                      # (n, n/2, B)
+            Aq = At[:, qj, :]
+            new_p = ccol * Ap - scol * Aq
+            new_q = scol * Ap + ccol * Aq
+            At = jnp.concatenate([new_p, new_q], axis=1)[:, list(inv), :]
+
+            # Accumulate eigenvectors: V <- V R (column update)
+            Vp = Vt[:, pj, :]
+            Vq = Vt[:, qj, :]
+            nvp = ccol * Vp - scol * Vq
+            nvq = scol * Vp + ccol * Vq
+            Vt = jnp.concatenate([nvp, nvq], axis=1)[:, list(inv), :]
+        return (At, Vt), None
+
+    (At, Vt), _ = lax.scan(one_sweep, (At, Vt), None, length=sweeps)
+
+    w = At[jnp.arange(n), jnp.arange(n), :]        # (n, B)
+    w = jnp.moveaxis(w, -1, 0)                     # (B, n)
+    V = jnp.moveaxis(Vt, -1, 0)                    # (B, n, n)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+    return (
+        w.reshape(batch_shape + (n,)),
+        V.reshape(batch_shape + (n, n)),
+    )
