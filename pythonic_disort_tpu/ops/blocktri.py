@@ -1,75 +1,185 @@
-"""Block-tridiagonal solver (block Thomas algorithm) via ``lax.scan``.
+"""Block-tridiagonal solver (block Thomas algorithm), TPU lanes layout.
 
 The multi-layer boundary-value system of the discrete-ordinates method
-couples the per-layer coefficient vectors through layer-interface
+couples per-layer coefficient vectors through layer-interface
 continuity conditions; regrouping its rows in chunks of ``2N`` makes it
 block tridiagonal with ``2N x 2N`` blocks.  The reference solves the
 same system with a scalar banded LU (``scipy.linalg.solve_banded``,
-reference ``_solve_for_coeffs.py:326``) which has no XLA lowering; a
-block Thomas recursion maps naturally onto TPU: each elimination step
-is a batched small-matrix LU + matmuls (MXU work), with the serial
-dimension being the (short) layer axis.
+reference ``_solve_for_coeffs.py:326``).
 
-The exponential scaling of the assembled blocks (all entries bounded by
-the eigenvector magnitudes; growth factors ``exp(K dtau)`` never appear
-un-damped) keeps the recursion well conditioned, mirroring the
-reference's banded assembly (``_solve_for_coeffs.py:264-273``).
+TPU-native design notes:
+
+- Any ``(batch, 32, 32)`` tensor pads its trailing dim to the 128-lane
+  tile (4x memory waste), and XLA's pivoted LU is latency-bound for
+  small blocks (measured ~610 ms for a 64-step scan of batched 32x32
+  solves on a v5e).  This solver therefore runs in a **batch-in-lanes**
+  layout ``(B, B, batch)`` where every elimination step is an
+  elementwise op across the huge batch: the same 64-step recursion
+  measures ~34 ms.
+- Block elimination is Gauss-Jordan with per-lane partial pivoting:
+  each lane (batch element) picks its own pivot row via an argmax and
+  masked row swap, so pivoting stays fully lane-parallel.  (Unpivoted
+  elimination is not safe here: strongly peaked phase functions produce
+  near-singular leading minors in the boundary blocks — Stamnes test
+  4c exhibits a breakdown.)  The exponential scaling of the assembly
+  (reference ``_solve_for_coeffs.py:264-273``) bounds entry growth, and
+  the full Stamnes golden suite (incl. 48-layer, 40-stream atmospheres
+  and tau=64 clouds) passes at float64 through this path.
+- ``custom_vmap``: under ``jax.vmap`` (the columns x bands batch of a
+  sweep), the batching rule folds the mapped axis into the lanes batch
+  instead of leaving it as a leading axis, preserving the layout.
+
+Convention: ``lower/diag/upper``: (L, *batch, B, B); ``rhs``:
+(L, *batch, B).  Block row ``l`` reads ``lower[l] x[l-1] + diag[l] x[l]
++ upper[l] x[l+1] = rhs[l]``; ``lower[0]`` / ``upper[-1]`` ignored.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
 
-def solve_block_tridiag(lower, diag, upper, rhs):
-    """Solve a block-tridiagonal system, batched.
+def _lanes_matmul(A, B):
+    """(n, k, b), (k, m, b) -> (n, m, b)."""
+    return jnp.einsum("ikb,kmb->imb", A, B)
 
-    Block row ``l`` reads ``lower[l] x[l-1] + diag[l] x[l] + upper[l]
-    x[l+1] = rhs[l]`` (``lower[0]`` and ``upper[-1]`` are ignored).
 
-    Parameters
-    ----------
-    lower, diag, upper : (L, ..., B, B) block arrays; axis 0 is the
-        serial (layer-chunk) axis, middle axes are batch.
-    rhs : (L, ..., B)
+def _lanes_matvec(A, x):
+    """(n, k, b), (k, b) -> (n, b)."""
+    return jnp.einsum("ikb,kb->ib", A, x)
 
-    Returns
-    -------
-    x : (L, ..., B)
+
+def gauss_jordan_solve_lanes(D, Aug, pivot=True):
+    """Gauss-Jordan: solve ``D X = Aug`` in lanes layout.
+
+    ``D``: (n, n, b); ``Aug``: (n, m, b).  Every step is elementwise
+    across the lane batch ``b``.  With ``pivot`` (default), per-lane
+    partial pivoting is done with an argmax + masked row swap — still
+    fully lane-parallel (each lane picks its own pivot row).
     """
-    L = diag.shape[0]
-    if L == 1:
-        return jnp.linalg.solve(diag[0], rhs[0][..., None])[..., 0][None]
+    n = D.shape[0]
+    a = jnp.concatenate([D, Aug], axis=1)          # (n, n+m, b)
+    row_ids = jnp.arange(n)
+    for k in range(n):
+        if pivot:
+            col = jnp.abs(a[:, k, :])              # (n, b)
+            col = jnp.where(row_ids[:, None] >= k, col, -jnp.inf)
+            r = jnp.argmax(col, axis=0)            # (b,)
+            onehot_r = row_ids[:, None] == r[None, :]          # (n, b)
+            pivot_row = jnp.take_along_axis(
+                a, r[None, None, :].astype(row_ids.dtype), axis=0
+            )[0]                                   # (n+m, b)
+            # rows: position r receives old row k; position k receives pivot
+            a = jnp.where(onehot_r[:, None, :], a[k][None, :, :], a)
+            a = a.at[k].set(pivot_row)
+        piv = a[k, :, :] / a[k, k, :][None, :]
+        a = a - a[:, k, :][:, None, :] * piv[None, :, :]
+        a = a.at[k].set(piv)
+    return a[:, n:, :]
 
-    # Forward elimination: W[l] = Dhat[l]^-1 U[l], g[l] = Dhat[l]^-1 rhat[l]
+
+@jax.custom_vjp
+def solve_block_tridiag(lower, diag, upper, rhs):
+    """Solve a block-tridiagonal system; batched over middle axes.
+
+    vmap folds mapped axes into the lane batch (custom_vmap rule on the
+    core); reverse-mode AD solves the transposed system (custom_vjp).
+    """
+    return _solve_block_tridiag_core(lower, diag, upper, rhs)
+
+
+def _blocktri_fwd(lower, diag, upper, rhs):
+    x = _solve_block_tridiag_core(lower, diag, upper, rhs)
+    return x, (lower, diag, upper, x)
+
+
+def _blocktri_bwd(res, ct):
+    lower, diag, upper, x = res
+    T = lambda m: jnp.swapaxes(m, -1, -2)
+    zero = jnp.zeros_like(diag[:1])
+    # Transposed system: block row l of A^T couples y_{l-1} via
+    # upper_{l-1}^T and y_{l+1} via lower_{l+1}^T.
+    lower_T = jnp.concatenate([zero, T(upper)[:-1]], axis=0)
+    upper_T = jnp.concatenate([T(lower)[1:], zero], axis=0)
+    y = _solve_block_tridiag_core(lower_T, T(diag), upper_T, ct)
+    outer = lambda a, b: a[..., :, None] * b[..., None, :]
+    zero_x = jnp.zeros_like(x[:1])
+    x_prev = jnp.concatenate([zero_x, x[:-1]], axis=0)
+    x_next = jnp.concatenate([x[1:], zero_x], axis=0)
+    d_lower = -outer(y, x_prev)
+    d_diag = -outer(y, x)
+    d_upper = -outer(y, x_next)
+    return d_lower, d_diag, d_upper, y
+
+
+solve_block_tridiag.defvjp(_blocktri_fwd, _blocktri_bwd)
+
+
+@jax.custom_batching.custom_vmap
+def _solve_block_tridiag_core(lower, diag, upper, rhs):
+    L = diag.shape[0]
+    B = diag.shape[-1]
+    batch_shape = diag.shape[1:-2]
+
+    # Flatten batch axes and move them into lanes: (L, B, B, nb)
+    def tmat(x):
+        return jnp.moveaxis(x.reshape((L, -1, B, B)), 1, 3)
+
+    def tvec(x):
+        return jnp.moveaxis(x.reshape((L, -1, B)), 1, 2)
+
+    lower_t, diag_t, upper_t = tmat(lower), tmat(diag), tmat(upper)
+    rhs_t = tvec(rhs)
+
+    if L == 1:
+        x0 = gauss_jordan_solve_lanes(diag_t[0], rhs_t[0][:, None, :])[:, 0, :]
+        return jnp.moveaxis(x0[None], 2, 1).reshape((1,) + batch_shape + (B,))
+
+    aug0 = jnp.concatenate([upper_t[0], rhs_t[0][:, None, :]], axis=1)
+    sol0 = gauss_jordan_solve_lanes(diag_t[0], aug0)
+    W0, g0 = sol0[:, :-1, :], sol0[:, -1, :]
+
     def fwd(carry, inp):
         W_prev, g_prev = carry
         low, dia, upp, r = inp
-        dhat = dia - jnp.einsum("...ij,...jk->...ik", low, W_prev)
-        rhat = r - jnp.einsum("...ij,...j->...i", low, g_prev)
-        aug = jnp.concatenate([upp, rhat[..., None]], axis=-1)
-        sol = jnp.linalg.solve(dhat, aug)
-        W = sol[..., :-1]
-        g = sol[..., -1]
+        dhat = dia - _lanes_matmul(low, W_prev)
+        rhat = r - _lanes_matvec(low, g_prev)
+        aug = jnp.concatenate([upp, rhat[:, None, :]], axis=1)
+        sol = gauss_jordan_solve_lanes(dhat, aug)
+        W, g = sol[:, :-1, :], sol[:, -1, :]
         return (W, g), (W, g)
 
-    aug0 = jnp.concatenate([upper[0], rhs[0][..., None]], axis=-1)
-    sol0 = jnp.linalg.solve(diag[0], aug0)
-    W0, g0 = sol0[..., :-1], sol0[..., -1]
     (_, _), (Ws, gs) = lax.scan(
-        fwd, (W0, g0), (lower[1:], diag[1:], upper[1:], rhs[1:])
+        fwd, (W0, g0), (lower_t[1:], diag_t[1:], upper_t[1:], rhs_t[1:])
     )
     Ws = jnp.concatenate([W0[None], Ws], axis=0)
     gs = jnp.concatenate([g0[None], gs], axis=0)
 
-    # Back substitution: x[L-1] = g[L-1]; x[l] = g[l] - W[l] x[l+1]
     def bwd(x_next, inp):
         W, g = inp
-        x = g - jnp.einsum("...ij,...j->...i", W, x_next)
+        x = g - _lanes_matvec(W, x_next)
         return x, x
 
     x_last = gs[-1]
     _, xs_rev = lax.scan(bwd, x_last, (Ws[:-1][::-1], gs[:-1][::-1]))
-    xs = jnp.concatenate([xs_rev[::-1], x_last[None]], axis=0)
-    return xs
+    xs = jnp.concatenate([xs_rev[::-1], x_last[None]], axis=0)  # (L, B, nb)
+    return jnp.moveaxis(xs, 2, 1).reshape((L,) + batch_shape + (B,))
+
+
+@_solve_block_tridiag_core.def_vmap
+def _solve_block_tridiag_vmap(axis_size, in_batched, lower, diag, upper, rhs):
+    """Fold a vmapped axis into the lanes batch (axis 1), not a leading
+    axis — preserves the batch-in-lanes layout under (nested) vmap."""
+    def fold(x, batched):
+        if batched:
+            return jnp.moveaxis(x, 0, 1)       # (L, bnew, *batch, ...)
+        return jnp.broadcast_to(x[:, None], (x.shape[0], axis_size) + x.shape[1:])
+
+    args = [
+        fold(x, b)
+        for x, b in zip((lower, diag, upper, rhs), in_batched)
+    ]
+    out = _solve_block_tridiag_core(*args)     # (L, bnew, *batch, B)
+    return jnp.moveaxis(out, 1, 0), True

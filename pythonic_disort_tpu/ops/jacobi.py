@@ -28,6 +28,7 @@ near-conservative-scattering limit where the smallest K^2 -> 0.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -63,8 +64,49 @@ def jacobi_eigh(A, sweeps=None):
 
     Returns ``(w, V)`` with eigenvalues ascending and ``A = V w V^T``.
     Drop-in replacement for ``jnp.linalg.eigh`` on large batches of
-    small matrices.
+    small matrices.  Under ``jax.vmap`` the mapped axis folds into the
+    internal lane batch (see ``_jacobi_eigh_vmap``).
     """
+    if sweeps is None:
+        return _jacobi_eigh_ad(A)
+    return _jacobi_core(A, sweeps)
+
+
+@jax.custom_batching.custom_vmap
+def _jacobi_eigh_default(A):
+    return _jacobi_core(A, None)
+
+
+@_jacobi_eigh_default.def_vmap
+def _jacobi_eigh_vmap(axis_size, in_batched, A):
+    # The core flattens every leading axis into the lane batch, so the
+    # batching rule is simply to call it on the stacked operand.
+    del axis_size, in_batched
+    return _jacobi_eigh_default(A), (True, True)
+
+
+@jax.custom_jvp
+def _jacobi_eigh_ad(A):
+    """AD-enabled wrapper: custom_vmap functions don't support autodiff,
+    so differentiation goes through the analytic eigh tangent rule."""
+    return _jacobi_eigh_default(A)
+
+
+@_jacobi_eigh_ad.defjvp
+def _jacobi_eigh_jvp(primals, tangents):
+    (A,), (dA,) = primals, tangents
+    w, V = _jacobi_eigh_ad(A)
+    # Standard symmetric-eig differential: with S = V^T dA V,
+    # dw = diag(S); dV = V (F o S), F_ij = 1/(w_j - w_i), F_ii = 0.
+    S = jnp.einsum("...ji,...jk,...kl->...il", V, dA, V)
+    dw = jnp.diagonal(S, axis1=-2, axis2=-1)
+    gap = w[..., None, :] - w[..., :, None]
+    F = jnp.where(jnp.abs(gap) > 0, 1.0 / jnp.where(gap == 0, 1.0, gap), 0.0)
+    dV = jnp.einsum("...ij,...jk->...ik", V, F * S)
+    return (w, V), (dw, dV)
+
+
+def _jacobi_core(A, sweeps):
     A = jnp.asarray(A)
     n = A.shape[-1]
     dtype = A.dtype
