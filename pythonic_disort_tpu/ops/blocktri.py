@@ -57,26 +57,35 @@ def gauss_jordan_solve_lanes(D, Aug, pivot=True):
     ``D``: (n, n, b); ``Aug``: (n, m, b).  Every step is elementwise
     across the lane batch ``b``.  With ``pivot`` (default), per-lane
     partial pivoting is done with an argmax + masked row swap — still
-    fully lane-parallel (each lane picks its own pivot row).
+    fully lane-parallel (each lane picks its own pivot row).  The
+    elimination loop is a ``fori_loop`` with dynamic slices: unrolling
+    it costs ~400x in XLA compile time at no runtime benefit.
     """
     n = D.shape[0]
-    a = jnp.concatenate([D, Aug], axis=1)          # (n, n+m, b)
+    a0 = jnp.concatenate([D, Aug], axis=1)         # (n, n+m, b)
     row_ids = jnp.arange(n)
-    for k in range(n):
+
+    def body(k, a):
         if pivot:
-            col = jnp.abs(a[:, k, :])              # (n, b)
-            col = jnp.where(row_ids[:, None] >= k, col, -jnp.inf)
-            r = jnp.argmax(col, axis=0)            # (b,)
+            colk = lax.dynamic_slice_in_dim(a, k, 1, axis=1)[:, 0, :]
+            col = jnp.where(row_ids[:, None] >= k, jnp.abs(colk), -jnp.inf)
+            r = jnp.argmax(col, axis=0)                        # (b,)
             onehot_r = row_ids[:, None] == r[None, :]          # (n, b)
             pivot_row = jnp.take_along_axis(
                 a, r[None, None, :].astype(row_ids.dtype), axis=0
-            )[0]                                   # (n+m, b)
-            # rows: position r receives old row k; position k receives pivot
-            a = jnp.where(onehot_r[:, None, :], a[k][None, :, :], a)
-            a = a.at[k].set(pivot_row)
-        piv = a[k, :, :] / a[k, k, :][None, :]
-        a = a - a[:, k, :][:, None, :] * piv[None, :, :]
-        a = a.at[k].set(piv)
+            )[0]                                               # (n+m, b)
+            rowk = lax.dynamic_slice_in_dim(a, k, 1, axis=0)   # (1, n+m, b)
+            # row r receives old row k; row k receives the pivot row
+            a = jnp.where(onehot_r[:, None, :], rowk, a)
+            a = lax.dynamic_update_slice_in_dim(a, pivot_row[None], k, axis=0)
+        rowk = lax.dynamic_slice_in_dim(a, k, 1, axis=0)       # (1, n+m, b)
+        pv = lax.dynamic_slice_in_dim(rowk, k, 1, axis=1)[0, 0, :]
+        piv = rowk[0] / pv[None, :]
+        colk = lax.dynamic_slice_in_dim(a, k, 1, axis=1)[:, 0, :]
+        a = a - colk[:, None, :] * piv[None, :, :]
+        return lax.dynamic_update_slice_in_dim(a, piv[None], k, axis=0)
+
+    a = lax.fori_loop(0, n, body, a0)
     return a[:, n:, :]
 
 
