@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .jacobi import jacobi_eigh
+from .lanes import cholesky_lanes, triangular_solve_lanes
 
 
 def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
@@ -78,7 +79,7 @@ def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
     At = outer_rho * (Dp - Dm) - inv_mu_diag        # symmetric
     Bt = outer_rho * (Dp + Dm) - inv_mu_diag        # symmetric
 
-    L = jnp.linalg.cholesky(-Bt)                    # -Bt = L L^T (SPD)
+    L = cholesky_lanes(-Bt)                         # -Bt = L L^T (SPD)
     # M_sym = L^T (-At) L, SPD with eigenvalues K^2
     M_sym = jnp.einsum("...ji,...jk,...kl->...il", L, -At, L)
     if eigh_method == "jacobi":
@@ -90,9 +91,7 @@ def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
     K = jnp.sqrt(jnp.maximum(K2, jnp.finfo(dtype).tiny))
 
     # X = c^-1 L^-T Z  (solve L^T V = Z), then scale rows by 1/c
-    V = lax.linalg.triangular_solve(
-        L, Z, left_side=True, lower=True, transpose_a=True
-    )
+    V = triangular_solve_lanes(L, Z, True)
     X = V / c[:, None]
 
     # Y = -c^-1 L Z / K
