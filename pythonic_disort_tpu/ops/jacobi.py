@@ -52,6 +52,27 @@ def default_sweeps(n, dtype):
     return 6 if n <= 32 else 8
 
 
+def _use_pallas(n, dtype):
+    """Dispatch to the VMEM-resident Pallas kernel on TPU for f32.
+
+    Opt-in via ``PYDISORT_TPU_PALLAS=1``: the kernel is ~2x faster at
+    runtime (82 ms vs 168 ms for 65536 16x16 on a v5e) but its Mosaic
+    compile is currently expensive (~10 min), so the jnp lanes path
+    stays the default.  Requires x64 mode off (Mosaic has no 64-bit
+    support and global x64 leaks int64 into lowering).
+    """
+    import os
+
+    return (
+        os.environ.get("PYDISORT_TPU_PALLAS", "0") == "1"
+        and jax.default_backend() == "tpu"
+        and not jax.config.jax_enable_x64
+        and jnp.dtype(dtype) == jnp.float32
+        and n % 2 == 0
+        and n <= 32
+    )
+
+
 def _inv_perm(p, q, n):
     perm = np.concatenate([p, q])
     inv = np.empty(n, dtype=np.int64)
@@ -124,6 +145,21 @@ def _jacobi_core(A, sweeps):
     # Batch-in-lanes layout: (N, N, B)
     At = jnp.moveaxis(A.reshape((-1, n, n)), 0, -1)
     B = At.shape[-1]
+
+    if _use_pallas(n, dtype):
+        from .pallas_jacobi import jacobi_eigh_lanes_pallas
+
+        w_l, V_l = jacobi_eigh_lanes_pallas(At, sweeps)
+        w = jnp.moveaxis(w_l, -1, 0)                   # (B, n)
+        V = jnp.moveaxis(V_l, -1, 0)                   # (B, n, n)
+        order = jnp.argsort(w, axis=-1)
+        w = jnp.take_along_axis(w, order, axis=-1)
+        V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+        return (
+            w.reshape(batch_shape + (n,)),
+            V.reshape(batch_shape + (n, n)),
+        )
+
     Vt = jnp.zeros_like(At).at[jnp.arange(n), jnp.arange(n), :].set(1.0)
 
     def one_sweep(carry, _):

@@ -49,12 +49,11 @@ def interpolate(u):
     interpolates each hemisphere's quadrature values polynomially,
     dispatching on the wrapped closure's arity like the reference.
     """
-    try:
-        probe = u(0, 0)
-        is_full_u = True
-    except TypeError:
-        probe = u(0)
-        is_full_u = False
+    import inspect
+
+    params = list(inspect.signature(u).parameters)
+    is_full_u = "phi" in params or len(params) >= 5
+    probe = u(0, 0) if is_full_u else u(0)
     N = len(np.atleast_1d(probe)) // 2
     mu_pos, _ = double_gauss(2 * N)
     w_pos = barycentric_weights(mu_pos)
