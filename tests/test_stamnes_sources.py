@@ -184,3 +184,59 @@ def test_stamnes_source_case(name):
         case.get("deg_around_beam", 0),
         case.get("intensity", True),
     )
+
+
+def test_9corrections():
+    """Delta-M + NT corrections improve accuracy vs DISORT on average.
+
+    Reference: ``pydisotest/9_test.py`` ``test_9corrections`` — a
+    six-layer scattering/emitting medium with Lambertian BDRF, thermal
+    boundary + internal sources, and a direct beam, solved with and
+    without delta-M scaling + NT corrections at NQuad=4; the corrected
+    run must beat the uncorrected one against the Stamnes golden.
+    """
+    import pythonic_disort_tpu as pdt
+    from pythonic_disort_tpu.utils.compare import compare
+    from helpers import load_golden
+
+    tau_arr = np.array([np.sum(np.arange(i + 2)) for i in range(6)],
+                       dtype=np.float64)
+    omega_arr = 0.9 + np.arange(1, 7) * 0.01
+    NQuad = 4
+    Leg_coeffs_all = np.vstack(
+        [((l / 3 + 4) / 7) ** np.arange(NQuad * 5) for l in np.arange(1, 7)]
+    )
+    mu0, I0, phi0 = 0.5, pi, 0.0
+    omega_s = 0.5
+    BDRF_modes = [
+        lambda mu, neg_mup: np.full((len(mu), len(neg_mup)), omega_s)
+    ]
+    TEMPER = 600 + np.arange(7) * 10.0
+    WVNMLO, WVNMHI = 999, 1000
+    s_poly_coeffs = generate_s_poly_coeffs(tau_arr, TEMPER, WVNMLO, WVNMHI)
+    b_pos = blackbody_contrib_to_BCs(700, WVNMLO, WVNMHI) * (1 - omega_s)
+    b_neg = blackbody_contrib_to_BCs(550, WVNMLO, WVNMHI) + 1
+
+    common = dict(
+        tau_arr=tau_arr, omega_arr=omega_arr, NQuad=NQuad,
+        Leg_coeffs_all=Leg_coeffs_all, mu0=mu0, I0=I0, phi0=phi0,
+        b_pos=b_pos, b_neg=b_neg, s_poly_coeffs=s_poly_coeffs,
+        BDRF_Fourier_modes=BDRF_modes,
+    )
+    mu_arr, flux_up, flux_down, u0, u = pdt.pydisort(**common)
+    _, flux_up_dM, flux_down_dM, _, u_NT = pdt.pydisort(
+        **common, f_arr=Leg_coeffs_all[:, NQuad], NT_cor=True,
+    )
+
+    reorder_mu = np.argsort(mu_arr)
+    mu_to_compare = np.full(len(mu_arr), True)
+
+    results = load_golden("9corrections")
+    dfu, _, dfdd, _, _, _, diff, _ = compare(
+        results, mu_to_compare, reorder_mu, flux_up, flux_down, u)
+    dfu_dM, _, dfdd_dM, _, _, _, diff_NT, _ = compare(
+        results, mu_to_compare, reorder_mu, flux_up_dM, flux_down_dM, u_NT)
+
+    assert np.mean(dfu - dfu_dM) > 0
+    assert np.mean(dfdd - dfdd_dM) > 0
+    assert np.mean(diff - diff_NT) > 0
