@@ -55,18 +55,16 @@ def default_sweeps(n, dtype):
 def _use_pallas(n, dtype):
     """Dispatch to the VMEM-resident Pallas kernel on TPU for f32.
 
-    Opt-in via ``PYDISORT_TPU_PALLAS=1``: the kernel is ~2x faster at
-    runtime (82 ms vs 168 ms for 65536 16x16 on a v5e) but its Mosaic
-    compile is currently expensive (~10 min), so the jnp lanes path
-    stays the default.  Requires x64 mode off (Mosaic has no 64-bit
-    support and global x64 leaks int64 into lowering).
+    Default on (opt out via ``PYDISORT_TPU_PALLAS=0``): measured 86 ms
+    vs 523 ms for the jnp lanes path on 131072 16x16 f32 (v5e), and the
+    row-wise kernel formulation compiles in seconds.  float64 stays on
+    the jnp path (Mosaic has no 64-bit support).
     """
     import os
 
     return (
-        os.environ.get("PYDISORT_TPU_PALLAS", "0") == "1"
+        os.environ.get("PYDISORT_TPU_PALLAS", "1") == "1"
         and jax.default_backend() == "tpu"
-        and not jax.config.jax_enable_x64
         and jnp.dtype(dtype) == jnp.float32
         and n % 2 == 0
         and n <= 32

@@ -1,17 +1,36 @@
 """Pallas TPU kernel: batched Jacobi eigendecomposition, VMEM-resident.
 
-The jnp batch-in-lanes Jacobi (`ops/jacobi.py`) still round-trips the
-matrix and eigenvector arrays through HBM on every rotation round
-(~3 full passes x 90 rounds).  This kernel keeps one lane-block of
-matrices **resident in VMEM for the entire iteration**: per grid step a
-``(n, n, BLK)`` block is loaded once, swept ``sweeps`` times with all
-rotation rounds unrolled (static round-robin schedule, slice/concat
-permutations only — no gathers), and written back once.  HBM traffic
-drops from ~270 passes to 2.
+The jnp batch-in-lanes Jacobi (`ops/jacobi.py`) round-trips the matrix
+and eigenvector arrays through HBM on every rotation round (~3 full
+passes x 90 rounds).  This kernel keeps one lane-block of matrices
+**resident in VMEM for the entire iteration**: per grid step a
+``(n, n, BLK)`` block is loaded once, swept ``sweeps`` times, and
+written back once.  HBM traffic drops from ~270 passes to 2.
 
-Layout: input must already be in lanes layout ``(n, n, B)`` with ``B``
-a multiple of the lane block; `ops/jacobi.py` handles padding, dispatch
-(TPU only) and the final eigenvalue sort.
+Kernel design (this shape is what makes the Mosaic compile tractable —
+a naive port of the lanes rotation needs hundreds of single-sublane
+slice/concat shuffles per round and compiles for >10 minutes):
+
+- One rotation round applies n/2 disjoint Givens rotations.  Writing
+  the round ROW-WISE, every row ``i`` is paired with ``partner(i)``
+  (a static involution) and updates as ``c_i * A_i - s_i * A_partner``
+  where ``(c_i, s_i)`` come from per-row closed forms of the classic
+  pivot formulas (for the q-member of a pair, ``theta`` and hence ``s``
+  flip sign, which is exactly the sign its row update needs).  A row
+  permutation of ``(n, n, BLK)`` along dim 0 moves whole (n, BLK)
+  planes — no sublane shuffles.
+- The two-sided update ``A <- J^T A J`` uses symmetry: with
+  ``T = J^T A`` (one row pass), ``A_next = (J^T T^T)^T`` — and since
+  ``A_next`` is symmetric we can skip the outer transpose and apply
+  the SAME row pass to ``T^T``.  One transpose per round total.
+- Eigenvectors accumulate TRANSPOSED (``W = V^T``, ``W <- J^T W``):
+  pure row passes, zero transposes; the caller un-transposes once.
+- Pivot quantities are diagonals: ``app = diag(A)``,
+  ``aqq = diag(A)[partner]``, ``apq = diag(P A)`` — masked sublane
+  reductions, no element gathers.
+
+Layout: input must already be in lanes layout ``(n, n, B)``;
+`ops/jacobi.py` handles padding, dispatch and the final sort.
 """
 
 from __future__ import annotations
@@ -25,83 +44,74 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .jacobi import _round_robin_schedule, _inv_perm
+from .jacobi import _round_robin_schedule
 
 LANE_BLOCK = 512
 
 
-def _take0(x, idxs):
-    return jnp.concatenate([x[i:i + 1] for i in idxs], axis=0)
+def _partner_perms(n):
+    """Static per-round partner involutions: perm[i] = pair partner."""
+    p_sched, q_sched = _round_robin_schedule(n)
+    perms = []
+    for r in range(n - 1):
+        perm = np.arange(n)
+        for p, q in zip(p_sched[r], q_sched[r]):
+            perm[p], perm[q] = q, p
+        perms.append(tuple(int(x) for x in perm))
+    return perms
 
 
-def _take1(x, idxs):
-    return jnp.concatenate([x[:, i:i + 1] for i in idxs], axis=1)
+def _perm0(x, perm):
+    """Permute along dim 0 (whole-plane moves; no sublane shuffles)."""
+    return jnp.concatenate([x[i:i + 1] for i in perm], axis=0)
 
 
-def _jacobi_kernel(a_ref, w_ref, v_ref, *, n, sweeps, rounds):
+def _jacobi_kernel(a_ref, w_ref, v_ref, *, n, sweeps, perms):
     a0 = a_ref[:]                                       # (n, n, blk)
     blk = a0.shape[-1]
     dtype = a0.dtype
     row = lax.broadcasted_iota(jnp.int32, (n, n, blk), 0)
     col = lax.broadcasted_iota(jnp.int32, (n, n, blk), 1)
-    v0 = jnp.where(row == col, jnp.ones((), dtype), jnp.zeros((), dtype))
+    eye = jnp.where(row == col, jnp.ones((), dtype), jnp.zeros((), dtype))
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
 
     def one_sweep(_, carry):
-        a, v = carry
-        for pj, qj, inv in rounds:
-            app = jnp.concatenate([a[p:p + 1, p, :] for p in pj], 0)
-            aqq = jnp.concatenate([a[q:q + 1, q, :] for q in qj], 0)
-            apq = jnp.concatenate(
-                [a[p:p + 1, q, :] for p, q in zip(pj, qj)], 0
-            )                                           # (n/2, blk)
-            theta = (aqq - app) * 0.5
-            denom = jnp.abs(theta) + jnp.sqrt(theta * theta + apq * apq)
-            sgn = jnp.where(theta >= 0, 1.0, -1.0).astype(dtype)
+        a, wv = carry
+        for perm in perms:
+            d = jnp.sum(a * eye, axis=1)                # (n, blk) diag
+            pa = _perm0(a, perm)                        # rows of the partner
+            offd = jnp.sum(pa * eye, axis=1)            # apq per row
+            dp = _perm0(d, perm)
+            theta = (dp - d) * 0.5
+            denom = jnp.abs(theta) + jnp.sqrt(theta * theta + offd * offd)
+            sgn = jnp.where(theta >= 0, one, -one)
             t = jnp.where(
-                jnp.abs(apq) > 0,
-                sgn * apq / jnp.where(denom > 0, denom, 1.0),
-                jnp.zeros_like(apq),
+                jnp.abs(offd) > 0,
+                sgn * offd / jnp.where(denom > 0, denom, one),
+                zero,
             )
-            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            c = lax.rsqrt(1.0 + t * t)
             s = t * c
+            cb = c[:, None, :]
+            sb = s[:, None, :]
 
-            crow = c[:, None, :]
-            srow = s[:, None, :]
-            Ap = _take0(a, pj)
-            Aq = _take0(a, qj)
-            a = _take0(
-                jnp.concatenate(
-                    [crow * Ap - srow * Aq, srow * Ap + crow * Aq], 0
-                ),
-                inv,
-            )
-            ccol = c[None, :, :]
-            scol = s[None, :, :]
-            Ap = _take1(a, pj)
-            Aq = _take1(a, qj)
-            a = _take1(
-                jnp.concatenate(
-                    [ccol * Ap - scol * Aq, scol * Ap + ccol * Aq], 1
-                ),
-                inv,
-            )
-            Vp = _take1(v, pj)
-            Vq = _take1(v, qj)
-            v = _take1(
-                jnp.concatenate(
-                    [ccol * Vp - scol * Vq, scol * Vp + ccol * Vq], 1
-                ),
-                inv,
-            )
-        return a, v
+            # T = J^T A (row pass), then A_next = row pass on T^T
+            t1 = cb * a - sb * pa
+            t1t = jnp.swapaxes(t1, 0, 1)
+            a = cb * t1t - sb * _perm0(t1t, perm)
+
+            # W = V^T accumulates with the same row pass
+            wv = cb * wv - sb * _perm0(wv, perm)
+        return a, wv
 
     # int32 bounds: under global x64 mode a Python-int fori index would
     # become int64, which Mosaic does not support.
-    a, v = lax.fori_loop(
-        jnp.int32(0), jnp.int32(sweeps), one_sweep, (a0, v0)
+    a, wv = lax.fori_loop(
+        jnp.int32(0), jnp.int32(sweeps), one_sweep, (a0, eye)
     )
-    w_ref[:] = jnp.concatenate([a[i:i + 1, i, :] for i in range(n)], 0)
-    v_ref[:] = v
+    w_ref[:] = jnp.sum(a * eye, axis=1)
+    v_ref[:] = wv                                       # = V^T
 
 
 def jacobi_eigh_lanes_pallas(At, sweeps):
@@ -118,27 +128,23 @@ def jacobi_eigh_lanes_pallas(At, sweeps):
         )
         At = jnp.concatenate([At, pad], axis=-1)
 
-    p_sched, q_sched = _round_robin_schedule(n)
-    rounds = tuple(
-        (tuple(int(x) for x in p_sched[r]),
-         tuple(int(x) for x in q_sched[r]),
-         tuple(int(x) for x in _inv_perm(p_sched[r], q_sched[r], n)))
-        for r in range(n - 1)
-    )
     kernel = functools.partial(
-        _jacobi_kernel, n=n, sweeps=sweeps, rounds=rounds
+        _jacobi_kernel, n=n, sweeps=sweeps, perms=_partner_perms(n)
     )
-    w, V = pl.pallas_call(
+    # index maps: int32 constants (Python 0 traces as i64 under global
+    # x64 mode, which Mosaic cannot legalize)
+    z = np.int32(0)
+    w, Vt = pl.pallas_call(
         kernel,
         grid=(Bp // blk,),
         in_specs=[
-            pl.BlockSpec((n, n, blk), lambda i: (0, 0, i),
+            pl.BlockSpec((n, n, blk), lambda i: (z, z, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n, blk), lambda i: (0, i),
+            pl.BlockSpec((n, blk), lambda i: (z, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n, n, blk), lambda i: (0, 0, i),
+            pl.BlockSpec((n, n, blk), lambda i: (z, z, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -146,4 +152,5 @@ def jacobi_eigh_lanes_pallas(At, sweeps):
             jax.ShapeDtypeStruct((n, n, Bp), At.dtype),
         ],
     )(At)
-    return w[:, :B], V[:, :, :B]
+    # kernel returns V^T; undo outside (XLA transpose, once)
+    return w[:, :B], jnp.swapaxes(Vt, 0, 1)[:, :, :B]
