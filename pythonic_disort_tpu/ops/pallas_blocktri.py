@@ -1,0 +1,218 @@
+"""Pallas TPU kernels: block-Thomas solve, VMEM-resident elimination.
+
+The jnp lanes block-tridiagonal path (`ops/blocktri.py`) runs the
+64-layer forward recursion as a `lax.scan` whose per-layer Gauss-Jordan
+is a 2N-step `fori_loop` of elementwise HBM ops — ~2048 sequential
+HBM roundtrips for the bench config (measured ~394 ms per 2048-solve
+chunk on a v5e).  These kernels keep each layer's elimination entirely
+in VMEM:
+
+- grid = (lane_blocks, L) with the layer axis iterating fastest, so for
+  a fixed lane block the L steps run back-to-back while the carried
+  recursion state (``W_prev``, ``g_prev`` — the block-Thomas
+  elimination factors) lives in VMEM scratch across grid steps;
+- per step, one ``(n, n, blk)`` block of each operand is DMA'd in, the
+  pivoted Gauss-Jordan runs fully unrolled on VMEM values (static row
+  indices everywhere except the per-lane pivot argmax), and the layer's
+  ``W``/``g`` factors are written out once;
+- back-substitution is a second kernel with the layer index map
+  reversed, carrying ``x_next`` in scratch.
+
+Pivoting matches the jnp path: per-lane partial pivoting via argmax +
+one-hot row extraction/swap (strongly peaked phase functions make
+unpivoted elimination break down — see `ops/blocktri.py`).
+
+HBM traffic for the bench config drops from ~2048 passes to: read the
+four operands once, write+read the (L, n, n, B) ``W`` stack, write
+``x`` — ~2.7 GB ≈ 3.5 ms of v5e bandwidth, with the elimination compute
+(~40 GFLOP of VPU work) the new bound.
+
+float32 only (Mosaic has no f64); float64 callers stay on the jnp path.
+Replaces the role of the reference's banded LAPACK solve
+(reference ``_solve_for_coeffs.py:326-333``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lane_block(n):
+    # VMEM working set per step ~ (3 inputs + W out + aug + scratch) x
+    # (n x ~2n x blk x 4B), double-buffered; keep it well under 16 MB.
+    return 256 if n <= 32 else 128
+
+
+def _gauss_jordan_vmem(a, n, m):
+    """Pivoted Gauss-Jordan on ``a`` (n, n+m, blk), fully unrolled.
+
+    Returns the reduced augmented block; columns [n:] hold the solution.
+    Same algorithm as ``blocktri.gauss_jordan_solve_lanes`` but on VMEM
+    values with static row indices (the only per-lane dynamic quantity
+    is the pivot-row one-hot).
+    """
+    blk = a.shape[-1]
+    row_ids = lax.broadcasted_iota(jnp.int32, (n, blk), 0)
+    neg_inf = jnp.asarray(-jnp.inf, a.dtype)
+    for k in range(n):
+        colk = a[:, k, :]                                   # (n, blk)
+        cand = jnp.where(row_ids >= k, jnp.abs(colk), neg_inf)
+        r = lax.argmax(cand, axis=0, index_dtype=jnp.int32)  # (blk,)
+        onehot = row_ids == r[None, :]                      # (n, blk)
+        pivot_row = jnp.sum(
+            jnp.where(onehot[:, None, :], a, jnp.zeros_like(a)), axis=0
+        )                                                   # (n+m, blk)
+        rowk = a[k]                                         # (n+m, blk)
+        a = jnp.where(onehot[:, None, :], rowk[None], a)    # row r <- row k
+        a = a.at[k].set(pivot_row)                          # row k <- pivot
+        piv = a[k] / a[k, k][None, :]
+        colk2 = a[:, k, :]
+        a = a - colk2[:, None, :] * piv[None]
+        a = a.at[k].set(piv)
+    return a
+
+
+def _matmul_lanes_unrolled(A, X, n):
+    """(n, n, blk) x (n, m, blk) -> (n, m, blk), k-loop on the VPU."""
+    acc = A[:, 0, :][:, None, :] * X[0][None]
+    for k in range(1, n):
+        acc = acc + A[:, k, :][:, None, :] * X[k][None]
+    return acc
+
+
+def _fwd_kernel(lower_ref, diag_ref, upper_ref, rhs_ref, W_ref, g_ref,
+                Wprev, gprev, *, n):
+    l = pl.program_id(1)
+
+    D = diag_ref[0]                                         # (n, n, blk)
+    U = upper_ref[0]
+    r = rhs_ref[0]                                          # (n, blk)
+    Low = lower_ref[0]
+
+    @pl.when(l == 0)
+    def _():
+        Wprev[...] = jnp.zeros_like(Wprev)
+        gprev[...] = jnp.zeros_like(gprev)
+
+    # lower[0] is ignored by convention and may hold arbitrary values;
+    # zero it on the first step so 0 * garbage cannot produce NaNs.
+    Low = jnp.where(l == 0, jnp.zeros_like(Low), Low)
+
+    Wp = Wprev[...]
+    gp = gprev[...]
+    aug_prev = jnp.concatenate([Wp, gp[:, None, :]], axis=1)  # (n, n+1, blk)
+    corr = _matmul_lanes_unrolled(Low, aug_prev, n)
+    dhat = D - corr[:, :n, :]
+    rhat = r - corr[:, n, :]
+
+    aug = jnp.concatenate([dhat, U, rhat[:, None, :]], axis=1)  # (n, 2n+1, blk)
+    sol = _gauss_jordan_vmem(aug, n, n + 1)[:, n:, :]
+
+    W = sol[:, :n, :]
+    g = sol[:, n, :]
+    W_ref[0] = W
+    g_ref[0] = g
+    Wprev[...] = W
+    gprev[...] = g
+
+
+def _bwd_kernel(W_ref, g_ref, x_ref, xnext, *, n):
+    step = pl.program_id(1)                     # 0 -> layer L-1 (reversed map)
+
+    g = g_ref[0]                                            # (n, blk)
+
+    @pl.when(step == 0)
+    def _():
+        xnext[...] = jnp.zeros_like(xnext)
+
+    # W[L-1] multiplies x_next which is zero on the last layer, but it
+    # was eliminated against upper[L-1] (ignored by convention, possibly
+    # garbage): mask W rather than rely on 0 * garbage == 0.
+    W = jnp.where(step == 0, jnp.zeros_like(W_ref[0]), W_ref[0])
+    xn = xnext[...]
+    acc = g
+    for k in range(n):
+        acc = acc - W[:, k, :] * xn[k][None, :]
+    x_ref[0] = acc
+    xnext[...] = acc
+
+
+def solve_block_tridiag_lanes_pallas(lower_t, diag_t, upper_t, rhs_t):
+    """Block-Thomas solve in lanes layout.
+
+    Args: ``lower_t/diag_t/upper_t``: (L, n, n, B); ``rhs_t``: (L, n, B).
+    Returns ``x``: (L, n, B).  B is padded internally to the lane block.
+    """
+    L, n, _, B = diag_t.shape
+    dtype = diag_t.dtype
+    blk = _lane_block(n)
+    Bp = ((B + blk - 1) // blk) * blk
+    if Bp != B:
+        pad = Bp - B
+        eye = jnp.broadcast_to(
+            jnp.eye(n, dtype=dtype)[None, :, :, None], (L, n, n, pad)
+        )
+        zmat = jnp.zeros((L, n, n, pad), dtype)
+        zvec = jnp.zeros((L, n, pad), dtype)
+        lower_t = jnp.concatenate([lower_t, zmat], axis=-1)
+        diag_t = jnp.concatenate([diag_t, eye], axis=-1)
+        upper_t = jnp.concatenate([upper_t, zmat], axis=-1)
+        rhs_t = jnp.concatenate([rhs_t, zvec], axis=-1)
+
+    nb = Bp // blk
+    z = np.int32(0)
+
+    def mat_spec(reverse=False):
+        if reverse:
+            return pl.BlockSpec(
+                (1, n, n, blk),
+                lambda i, l, L=np.int32(L): (L - 1 - l, z, z, i),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (1, n, n, blk), lambda i, l: (l, z, z, i),
+            memory_space=pltpu.VMEM,
+        )
+
+    def vec_spec(reverse=False):
+        if reverse:
+            return pl.BlockSpec(
+                (1, n, blk),
+                lambda i, l, L=np.int32(L): (L - 1 - l, z, i),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (1, n, blk), lambda i, l: (l, z, i), memory_space=pltpu.VMEM,
+        )
+
+    W, g = pl.pallas_call(
+        functools.partial(_fwd_kernel, n=n),
+        grid=(nb, L),
+        in_specs=[mat_spec(), mat_spec(), mat_spec(), vec_spec()],
+        out_specs=[mat_spec(), vec_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, n, n, Bp), dtype),
+            jax.ShapeDtypeStruct((L, n, Bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, n, blk), dtype),
+            pltpu.VMEM((n, blk), dtype),
+        ],
+    )(lower_t, diag_t, upper_t, rhs_t)
+
+    x = pl.pallas_call(
+        functools.partial(_bwd_kernel, n=n),
+        grid=(nb, L),
+        in_specs=[mat_spec(reverse=True), vec_spec(reverse=True)],
+        out_specs=vec_spec(reverse=True),
+        out_shape=jax.ShapeDtypeStruct((L, n, Bp), dtype),
+        scratch_shapes=[pltpu.VMEM((n, blk), dtype)],
+    )(W, g)
+    return x[..., :B]
