@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _lane_block(n):
     # VMEM working set per step ~ (3 inputs + W out + aug + scratch) x
     # (n x ~2n x blk x 4B), double-buffered; keep it well under 16 MB.
-    return 256 if n <= 32 else 128
+    return 256 if n <= 16 else 128
 
 
 def _gauss_jordan_vmem(a, n, m):
@@ -62,6 +62,7 @@ def _gauss_jordan_vmem(a, n, m):
     row_ids = lax.broadcasted_iota(jnp.int32, (n, blk), 0)
     neg_inf = jnp.asarray(-jnp.inf, a.dtype)
     for k in range(n):
+        isk = (row_ids == k)[:, None, :]                    # (n, 1, blk)
         colk = a[:, k, :]                                   # (n, blk)
         cand = jnp.where(row_ids >= k, jnp.abs(colk), neg_inf)
         r = lax.argmax(cand, axis=0, index_dtype=jnp.int32)  # (blk,)
@@ -71,11 +72,13 @@ def _gauss_jordan_vmem(a, n, m):
         )                                                   # (n+m, blk)
         rowk = a[k]                                         # (n+m, blk)
         a = jnp.where(onehot[:, None, :], rowk[None], a)    # row r <- row k
-        a = a.at[k].set(pivot_row)                          # row k <- pivot
-        piv = a[k] / a[k, k][None, :]
+        # (`.at[k].set` would lower to an unsupported scatter in Mosaic;
+        # static-index row writes are masked selects instead.)
+        a = jnp.where(isk, pivot_row[None], a)              # row k <- pivot
+        piv = pivot_row / pivot_row[k][None, :]             # (n+m, blk)
         colk2 = a[:, k, :]
         a = a - colk2[:, None, :] * piv[None]
-        a = a.at[k].set(piv)
+        a = jnp.where(isk, piv[None], a)
     return a
 
 
