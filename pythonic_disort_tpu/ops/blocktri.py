@@ -36,9 +36,29 @@ Convention: ``lower/diag/upper``: (L, *batch, B, B); ``rhs``:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _use_pallas(block, dtype):
+    """Dispatch to the VMEM-resident Pallas block-Thomas kernel on TPU.
+
+    Default on for f32 (opt out via ``PYDISORT_TPU_PALLAS=0``): the jnp
+    lanes path scans L layers x 2N fori steps of elementwise HBM ops
+    (~394 ms per 2048-solve bench chunk on a v5e); the Pallas kernel
+    keeps each layer's Gauss-Jordan elimination in VMEM
+    (`ops/pallas_blocktri.py`).  float64 stays on the jnp path (Mosaic
+    has no 64-bit support).
+    """
+    return (
+        os.environ.get("PYDISORT_TPU_PALLAS", "1") == "1"
+        and jax.default_backend() == "tpu"
+        and jnp.dtype(dtype) == jnp.float32
+        and block <= 64
+    )
 
 
 def _lanes_matmul(A, B):
@@ -141,6 +161,12 @@ def _solve_block_tridiag_core(lower, diag, upper, rhs):
 
     lower_t, diag_t, upper_t = tmat(lower), tmat(diag), tmat(upper)
     rhs_t = tvec(rhs)
+
+    if L > 1 and _use_pallas(B, diag.dtype):
+        from .pallas_blocktri import solve_block_tridiag_lanes_pallas
+
+        xs = solve_block_tridiag_lanes_pallas(lower_t, diag_t, upper_t, rhs_t)
+        return jnp.moveaxis(xs, 2, 1).reshape((L,) + batch_shape + (B,))
 
     if L == 1:
         x0 = gauss_jordan_solve_lanes(diag_t[0], rhs_t[0][:, None, :])[:, 0, :]

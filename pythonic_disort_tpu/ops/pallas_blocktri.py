@@ -51,35 +51,45 @@ def _lane_block(n):
 
 
 def _gauss_jordan_vmem(a, n, m):
-    """Pivoted Gauss-Jordan on ``a`` (n, n+m, blk), fully unrolled.
+    """Pivoted Gauss-Jordan on ``a`` (n, n+m, blk), ``fori_loop`` body.
 
     Returns the reduced augmented block; columns [n:] hold the solution.
     Same algorithm as ``blocktri.gauss_jordan_solve_lanes`` but on VMEM
-    values with static row indices (the only per-lane dynamic quantity
-    is the pivot-row one-hot).
+    values.  The elimination loop is a ``lax.fori_loop`` whose traced
+    index ``k`` is materialized through iota-compare masked selects and
+    masked-sum row/column extraction (Mosaic supports neither scatters
+    nor cheap dynamic sublane slices; a fully unrolled version of this
+    loop costs ~400 s of Mosaic compile time at identical runtime).
     """
     blk = a.shape[-1]
-    row_ids = lax.broadcasted_iota(jnp.int32, (n, blk), 0)
-    neg_inf = jnp.asarray(-jnp.inf, a.dtype)
-    for k in range(n):
-        isk = (row_ids == k)[:, None, :]                    # (n, 1, blk)
-        colk = a[:, k, :]                                   # (n, blk)
-        cand = jnp.where(row_ids >= k, jnp.abs(colk), neg_inf)
-        r = lax.argmax(cand, axis=0, index_dtype=jnp.int32)  # (blk,)
-        onehot = row_ids == r[None, :]                      # (n, blk)
+    dtype = a.dtype
+    row2 = lax.broadcasted_iota(jnp.int32, (n, blk), 0)           # (n, blk)
+    row3 = lax.broadcasted_iota(jnp.int32, (n, n + m, blk), 0)
+    col3 = lax.broadcasted_iota(jnp.int32, (n, n + m, blk), 1)
+    cols2 = lax.broadcasted_iota(jnp.int32, (n + m, blk), 0)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    zero = jnp.zeros((), dtype)
+
+    def body(k, a):
+        isk3 = row3 == k                                    # (n, n+m, blk)
+        colk = jnp.sum(jnp.where(col3 == k, a, zero), axis=1)   # (n, blk)
+        cand = jnp.where(row2 >= k, jnp.abs(colk), neg_inf)
+        r = lax.argmax(cand, axis=0, index_dtype=jnp.int32)      # (blk,)
+        onehot = row2 == r[None, :]                         # (n, blk)
         pivot_row = jnp.sum(
-            jnp.where(onehot[:, None, :], a, jnp.zeros_like(a)), axis=0
+            jnp.where(onehot[:, None, :], a, zero), axis=0
         )                                                   # (n+m, blk)
-        rowk = a[k]                                         # (n+m, blk)
+        rowk = jnp.sum(jnp.where(isk3, a, zero), axis=0)    # (n+m, blk)
         a = jnp.where(onehot[:, None, :], rowk[None], a)    # row r <- row k
-        # (`.at[k].set` would lower to an unsupported scatter in Mosaic;
-        # static-index row writes are masked selects instead.)
-        a = jnp.where(isk, pivot_row[None], a)              # row k <- pivot
-        piv = pivot_row / pivot_row[k][None, :]             # (n+m, blk)
-        colk2 = a[:, k, :]
+        a = jnp.where(isk3, pivot_row[None], a)             # row k <- pivot
+        pv = jnp.sum(jnp.where(cols2 == k, pivot_row, zero), axis=0)  # (blk,)
+        piv = pivot_row / pv[None, :]                       # (n+m, blk)
+        colk2 = jnp.sum(jnp.where(col3 == k, a, zero), axis=1)
         a = a - colk2[:, None, :] * piv[None]
-        a = jnp.where(isk, piv[None], a)
-    return a
+        a = jnp.where(isk3, piv[None], a)
+        return a
+
+    return lax.fori_loop(jnp.int32(0), jnp.int32(n), body, a)
 
 
 def _matmul_lanes_unrolled(A, X, n):
