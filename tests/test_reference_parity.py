@@ -1,0 +1,74 @@
+"""North-star correctness: f64 fluxes match the live reference
+implementation at rtol = 1e-6 (BASELINE.json; stronger than the 1e-3
+golden thresholds of the Stamnes tests).
+
+Every encoded Stamnes case (families 1-9, tests/test_stamnes*.py) is
+re-solved by BOTH this framework and PythonicDISORT (imported from
+/root/reference/src, the comparison oracle) with identical arguments;
+all three flux outputs must agree to
+
+    |ours - ref| <= 1e-6 |ref| + 1e-8 * max|ref|
+
+(the absolute floor covers identically-zero / underflowed-to-1e-300
+fluxes deep in thick atmospheres, where relative error is undefined).
+Measured headroom: every case currently agrees to ~1e-8 * scale.
+"""
+
+import sys
+import warnings
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference/src")
+
+try:
+    import PythonicDISORT
+except Exception:  # pragma: no cover - reference checkout not present
+    PythonicDISORT = None
+
+from test_stamnes import CASES as CASES_MAIN
+from test_stamnes_sources import CASES as CASES_SRC
+
+ALL_CASES = {}
+ALL_CASES.update(CASES_MAIN)
+ALL_CASES.update(CASES_SRC)
+
+RTOL = 1e-6
+ATOL_SCALE = 1e-8
+
+
+@pytest.mark.skipif(PythonicDISORT is None, reason="reference not importable")
+@pytest.mark.parametrize("name", sorted(ALL_CASES))
+def test_flux_parity_rtol_1e6(name):
+    import pythonic_disort_tpu as pdt
+
+    case = ALL_CASES[name]
+    if callable(case):
+        case = case()
+    kwargs = dict(case["kwargs"])
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ours = pdt.pydisort(**kwargs)
+        ref = PythonicDISORT.pydisort(**kwargs)
+
+    tau_max = float(np.max(np.atleast_1d(kwargs["tau_arr"])))
+    tau = np.linspace(0.0, tau_max, 23)
+
+    r_fu = np.asarray(ref[1](tau))
+    r_fd, r_fdir = (np.asarray(x) for x in ref[2](tau))
+    o_fu = np.asarray(ours[1](tau))
+    o_fd, o_fdir = (np.asarray(x) for x in ours[2](tau))
+
+    scale = max(np.abs(r_fu).max(), np.abs(r_fd).max(), np.abs(r_fdir).max())
+    atol = ATOL_SCALE * scale
+    for lbl, o, r in [
+        ("flux_up", o_fu, r_fu),
+        ("flux_down_diffuse", o_fd, r_fd),
+        ("flux_down_direct", o_fdir, r_fdir),
+    ]:
+        np.testing.assert_allclose(
+            o, r, rtol=RTOL, atol=atol,
+            err_msg=f"{name}: {lbl} disagrees with reference beyond rtol=1e-6",
+        )
