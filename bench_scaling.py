@@ -1,16 +1,26 @@
 """Scaling-efficiency measurement: columns/s on 1 vs N devices.
 
 North-star target (BASELINE.json): >= 85% columns/s scaling efficiency
-from 1 chip to N hosts.  On a multi-chip/multi-host system this runs as
-is (after ``initialize_distributed``); on a single-chip or CPU machine
-set ``JAX_PLATFORMS=cpu`` with
-``XLA_FLAGS=--xla_force_host_platform_device_count=8`` to validate the
-sharded program and measure the parallel fraction on a faked mesh.
+from 1 chip to N hosts.  The batch (columns x bands) axis is sharded
+over the mesh and the interior solve is collective-free, so the
+expected efficiency on real multi-chip hardware is ~1.
+
+Modes:
+- **Real multi-device** (len(jax.devices()) > 1 on TPU): measure
+  in-process over 1, 2, ..., N chips.
+- **Single-chip / CPU fallback**: no second chip exists, so the script
+  re-execs itself once per device count on a virtual CPU mesh
+  (``--xla_force_host_platform_device_count``) with the process pinned
+  to that many physical cores (``taskset``), making "1 device" ~= "1
+  core" a fair weak-scaling proxy.  The JSON marks this with
+  ``"cpu_proxy": true``; device counts are capped at the core count.
 
 Prints one JSON line with per-device-count columns/s and efficiency.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -21,53 +31,152 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def measure(nd):
+    """Columns/s for one device count on the current backend."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from bench import build_batch, NBANDS, CHUNK_COLS
-    from pythonic_disort_tpu.parallel import solve_fluxes
+    from pythonic_disort_tpu.parallel import solve_fluxes_sharded
 
     devices = jax.devices()
-    counts = sorted({1, 2, len(devices)} & set(range(1, len(devices) + 1)))
-    log(f"devices: {len(devices)} x {devices[0].platform}")
+    assert len(devices) >= nd, (len(devices), nd)
+    ncols = CHUNK_COLS * nd               # weak scaling: fixed work per device
+    problem, tau_eval = build_batch(jnp.float32, ncols)
+    mesh = Mesh(np.asarray(devices[:nd]), ("batch",))
+    sharding = NamedSharding(mesh, P("batch"))
+    problem = jax.tree.map(lambda x: jax.device_put(x, sharding), problem)
+    tau_eval = jax.device_put(tau_eval, sharding)
 
-    results = {}
-    for nd in counts:
-        ncols = CHUNK_COLS * nd           # weak scaling: fixed work per device
-        problem, tau_eval = build_batch(jnp.float32, ncols)
-        mesh = Mesh(np.asarray(devices[:nd]), ("batch",))
-        sharding = NamedSharding(mesh, P("batch"))
-        problem = jax.tree.map(lambda x: jax.device_put(x, sharding), problem)
-        tau_eval = jax.device_put(tau_eval, sharding)
+    def step(problem, tau_eval):
+        fup, fdn, fdir = solve_fluxes_sharded(problem, tau_eval, mesh)
+        return fup.sum() + fdn.sum() + fdir.sum()
 
-        def step(problem, tau_eval):
-            fup, fdn, fdir = solve_fluxes(problem, tau_eval)
-            return fup.sum() + fdn.sum() + fdir.sum()
+    fused = jax.jit(step)
+    float(np.asarray(fused(problem, tau_eval)))    # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(fused(problem, tau_eval)))
+        ts.append(time.perf_counter() - t0)
+    cols_per_s = ncols / min(ts)
+    log(f"{nd} device(s): {cols_per_s:.2f} columns/s ({ncols} cols x {NBANDS} bands)")
+    return cols_per_s
 
-        fused = jax.jit(step)
-        float(np.asarray(fused(problem, tau_eval)))    # compile
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(np.asarray(fused(problem, tau_eval)))
-            ts.append(time.perf_counter() - t0)
-        cols_per_s = ncols / min(ts)
-        results[nd] = cols_per_s
-        log(f"{nd} device(s): {cols_per_s:.2f} columns/s ({ncols} cols x {NBANDS} bands)")
 
+def emit(results, cpu_proxy, audit=None, samples=None):
+    counts = sorted(results)
     base = results[counts[0]]
-    eff = {
-        nd: results[nd] / (base * nd) for nd in counts
-    }
-    print(json.dumps({
+    eff = {nd: results[nd] / (base * nd) for nd in counts}
+    out = {
         "metric": "columns/s scaling efficiency (weak scaling)",
         "columns_per_s": {str(k): round(v, 3) for k, v in results.items()},
         "efficiency": {str(k): round(v, 4) for k, v in eff.items()},
+        "cpu_proxy": cpu_proxy,
         "unit": "fraction",
         "value": round(eff[counts[-1]], 4),
-    }))
+    }
+    if audit is not None:
+        out["interior_collectives_8way"] = audit
+    if samples is not None:
+        out["samples_columns_per_s"] = samples
+    print(json.dumps(out))
+
+
+def audit_collectives(nd):
+    """Compile the sharded production program for ``nd`` devices and
+    count collective ops in the optimized HLO.  The interior solve is
+    collective-free by design — scaling efficiency on real hardware is
+    then bounded only by load balance, not communication."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from bench import build_batch
+    from pythonic_disort_tpu.parallel import solve_fluxes_sharded
+
+    devices = jax.devices()[:nd]
+    problem, tau_eval = build_batch(jnp.float32, nd)
+    mesh = Mesh(np.asarray(devices), ("batch",))
+    lowered = jax.jit(
+        lambda p, t: solve_fluxes_sharded(p, t, mesh)
+    ).lower(problem, tau_eval)
+    hlo = lowered.compile().as_text()
+    counts = {}
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        counts[op] = sum(
+            1 for line in hlo.splitlines()
+            if f"{op}-start" in line or (f" {op}(" in line) or
+            line.lstrip().startswith(f"%{op}")
+        )
+    return counts
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        # Inner invocation: measure a single device count, print cols/s.
+        nd = int(sys.argv[2])
+        print(f"RESULT {measure(nd)}", flush=True)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--audit":
+        nd = int(sys.argv[2])
+        print(f"AUDIT {json.dumps(audit_collectives(nd))}", flush=True)
+        return
+
+    import jax
+
+    devices = jax.devices()
+    if len(devices) > 1 and devices[0].platform != "cpu":
+        counts = sorted({1, 2, len(devices)} & set(range(1, len(devices) + 1)))
+        log(f"real mesh: {len(devices)} x {devices[0].platform}")
+        emit({nd: measure(nd) for nd in counts}, cpu_proxy=False)
+        return
+
+    # Single-chip / CPU: re-exec per count pinned to nd cores.
+    ncores = os.cpu_count() or 1
+    counts = sorted({1, 2, 4, 8, ncores} & set(range(1, ncores + 1)))
+    passes = int(os.environ.get("SCALING_PASSES", 3))
+    log(f"cpu proxy mesh: {ncores} cores -> counts {counts}, {passes} passes")
+
+    def run_sub(mode, nd, cores):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={nd}"
+        )
+        cmd = [sys.executable, os.path.abspath(__file__), mode, str(nd)]
+        if cores:
+            cmd = ["taskset", "-c", cores] + cmd
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        return out.stdout
+
+    # measured per-core throughput, median over passes (small shared VMs
+    # show ~±20% run-to-run noise)
+    samples = {nd: [] for nd in counts}
+    for _ in range(passes):
+        for nd in counts:
+            cores = ",".join(str(c) for c in range(nd))
+            for line in run_sub("--one", nd, cores).splitlines():
+                if line.startswith("RESULT "):
+                    samples[nd].append(float(line.split()[1]))
+    results = {nd: float(np.median(v)) for nd, v in samples.items()}
+
+    # compiler-level audit: count collectives in the 8-way sharded HLO
+    audit = None
+    for line in run_sub("--audit", max(8, counts[-1]), None).splitlines():
+        if line.startswith("AUDIT "):
+            audit = json.loads(line[len("AUDIT "):])
+    log(f"interior collective audit (8-way): {audit}")
+    emit(results, cpu_proxy=True, audit=audit,
+         samples={str(k): [round(x, 3) for x in v]
+                  for k, v in samples.items()})
 
 
 if __name__ == "__main__":

@@ -24,6 +24,17 @@ from .types import DisortConfig, DisortProblem
 
 _solve_jit = jax.jit(solve)
 
+# Jitted evaluators shared by every closure (keyed on solution shapes +
+# the static flags): without these, each closure call pays op-by-op
+# dispatch -- ~100x slower through a remote TPU runtime.  The reference
+# counterpart is the interpreted closure at reference
+# ``_assemble_intensity_and_fluxes.py:170-619``.
+_flux_up_jit = jax.jit(ev.flux_up, static_argnums=2)
+_flux_down_jit = jax.jit(ev.flux_down, static_argnums=2)
+_u0_jit = jax.jit(ev.u0, static_argnums=2)
+_act_dscale_jit = jax.jit(ev.act_dscale_reclassification, static_argnums=2)
+_u_jit = jax.jit(ev.u, static_argnums=(3, 4))
+
 __all__ = ["pydisort", "build_problem"]
 
 
@@ -314,14 +325,14 @@ def pydisort(
     def flux_up(tau, is_antiderivative_wrt_tau=False, return_tau_arr=False):
         tau = _check_tau(tau)
         out = np.asarray(
-            ev.flux_up(sol, jnp.asarray(tau), bool(is_antiderivative_wrt_tau))
+            _flux_up_jit(sol, jnp.asarray(tau), bool(is_antiderivative_wrt_tau))
         )
         out = np.squeeze(out)[()]
         return (out, tau_np) if return_tau_arr else out
 
     def flux_down(tau, is_antiderivative_wrt_tau=False, return_tau_arr=False):
         tau = _check_tau(tau)
-        diffuse, direct = ev.flux_down(
+        diffuse, direct = _flux_down_jit(
             sol, jnp.asarray(tau), bool(is_antiderivative_wrt_tau)
         )
         diffuse = np.squeeze(np.asarray(diffuse))[()]
@@ -335,14 +346,14 @@ def pydisort(
         tau = _check_tau(tau)
         out = np.squeeze(
             np.asarray(
-                ev.u0(sol, jnp.asarray(tau), bool(is_antiderivative_wrt_tau))
+                _u0_jit(sol, jnp.asarray(tau), bool(is_antiderivative_wrt_tau))
             )
         )[()]
         outputs = (out,)
         if return_tau_arr:
             outputs += (tau_np,)
         if _return_act_dscale_for_reclass:
-            act = ev.act_dscale_reclassification(
+            act = _act_dscale_jit(
                 sol, jnp.asarray(tau), bool(is_antiderivative_wrt_tau)
             )
             outputs += (np.asarray(act),)
@@ -360,7 +371,7 @@ def pydisort(
                  return_Fourier_error=False, return_tau_arr=False):
             tau = _check_tau(tau)
             phi = np.atleast_1d(phi)
-            res = ev.u(
+            res = _u_jit(
                 sol, jnp.asarray(tau), jnp.asarray(phi),
                 bool(is_antiderivative_wrt_tau), bool(return_Fourier_error),
             )

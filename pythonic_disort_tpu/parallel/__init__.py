@@ -13,6 +13,7 @@ from .batch import (
     make_batched_problem,
     solve_batch,
     solve_fluxes,
+    solve_fluxes_sharded,
 )
 from .sweep import SweepDriver
 
@@ -20,5 +21,5 @@ __all__ = [
     "BATCH_AXIS", "batch_sharding", "default_mesh",
     "initialize_distributed", "shard_batch", "fluxes_at",
     "global_flux_stats", "make_batched_problem", "solve_batch",
-    "solve_fluxes", "SweepDriver",
+    "solve_fluxes", "solve_fluxes_sharded", "SweepDriver",
 ]

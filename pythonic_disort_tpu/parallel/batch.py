@@ -88,6 +88,37 @@ def solve_fluxes(problem: DisortProblem, tau_eval):
     return fluxes_at(sol, tau_eval)
 
 
+def solve_fluxes_sharded(problem: DisortProblem, tau_eval, mesh,
+                         axis_name: str = "batch"):
+    """`solve_fluxes` with the batch axis explicitly sharded via
+    ``jax.shard_map``: each device runs its batch shard's solve as a
+    fully local program.
+
+    Why not plain ``jit`` + ``NamedSharding``?  The lanes-layout
+    kernels (`ops/jacobi.py`, `ops/blocktri.py`) reshape the batch axis
+    into a trailing lane dimension; GSPMD cannot propagate the batch
+    sharding through those reshapes and falls back to replicating the
+    whole computation on every device (measured ~0.45 weak-scaling
+    efficiency at 2 devices).  ``shard_map`` pins the decomposition:
+    the interior is collective-free, so weak-scaling efficiency is
+    limited only by load balance (measured ~1.0 on a core-pinned
+    virtual CPU mesh).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axis_name)
+    # check_vma=False: the varying-manual-axes analysis rejects scans
+    # whose carry init is batch-invariant (e.g. the Legendre recurrence
+    # identity rows); the interior is collective-free, so per-shard
+    # execution is correct by construction.
+    fn = jax.shard_map(
+        solve_fluxes, mesh=mesh,
+        in_specs=(spec, spec), out_specs=(spec, spec, spec),
+        check_vma=False,
+    )
+    return fn(problem, tau_eval)
+
+
 def global_flux_stats(fup, axis_name=None):
     """Example cross-batch diagnostic; with ``axis_name`` reduces over a
     mesh axis via a collective (psum), otherwise over the local batch."""
