@@ -167,6 +167,11 @@ def build_problem(
 
     if not (np.all(0 <= f_arr) and np.all(f_arr <= 1)):
         raise ValueError("The fractional scattering must be between 0 and 1.")
+    if Nscoeffs > 10:
+        # Reference warns at solve time (subroutines.py:823-824); the
+        # conditioning concern (factorial growth in the particular-
+        # solution triangle) is identical here.
+        warnings.warn("`Nscoeffs` is large and may cause instability.")
 
     mu_arr_pos, _ = double_gauss(NQuad)
     if NT_cor and np.any(np.abs(mu_arr_pos - mu0) < 1e-8):
@@ -268,7 +273,9 @@ def _canonicalize_bc(b, N, NFourier, which):
         out = b_arr
     else:
         raise ValueError(
-            f"The shape of the {which} boundary condition is incorrect."
+            "The shape of the bottom boundary condition is incorrect."
+            if which == "bottom"
+            else "The shape of the top boundary condition is incorrect."
         )
     return out
 
@@ -300,6 +307,13 @@ def pydisort(
     counts) and gradients are natively available through the pure
     functional core (`solve`/`eval`) instead of autograd.
     """
+    # Argument parity (reference pydisort.py:292-293): the solver switch
+    # is validated identically even though one block-tridiagonal path
+    # covers all layer counts here; autograd is native via jax.
+    if not use_banded_solver_NLayers >= 3:
+        raise ValueError(
+            "The minimum threshold `use_banded_solver_NLayers` is 3, else the matrix will not be banded."
+        )
     del use_banded_solver_NLayers, autograd_compatible
     config, problem = build_problem(
         tau_arr, omega_arr, NQuad, Leg_coeffs_all, mu0, I0, phi0,
