@@ -14,9 +14,10 @@ Two API levels:
   functional core for jit/vmap/pjit composition (see ``parallel``).
 """
 
-from .config import enable_x64_if_requested
+from .config import enable_x64_if_requested, set_matmul_precision
 
 enable_x64_if_requested()
+set_matmul_precision()
 
 from .models.disort.api import pydisort, build_problem  # noqa: E402
 from .models.disort.solve import solve  # noqa: E402

@@ -19,12 +19,32 @@ import jax
 import jax.numpy as jnp
 
 _X64_ENV_OPT_OUT = "PYDISORT_TPU_NO_X64"
+_FAST_MATMUL_ENV = "PYDISORT_TPU_FAST_MATMUL"
 
 
 def enable_x64_if_requested() -> None:
     """Enable JAX x64 mode unless the user opted out via env var."""
     if os.environ.get(_X64_ENV_OPT_OUT, "0") != "1":
         jax.config.update("jax_enable_x64", True)
+
+
+def set_matmul_precision() -> None:
+    """Default f32 matmuls to full precision.
+
+    TPUs execute f32 matmuls/einsums as bfloat16 passes by default
+    (~1e-3 relative error), which costs the f32 production path ~15x
+    accuracy in the downwelling flux (measured 2.7e-2 -> 1.8e-3 abs on
+    the 64-layer bench config).  A radiative-transfer solver is the
+    textbook case for full-precision accumulation, so the package
+    defaults to ``highest`` unless the user opted out via
+    ``PYDISORT_TPU_FAST_MATMUL=1`` or already chose a precision
+    themselves (env var or prior config update)."""
+    if os.environ.get(_FAST_MATMUL_ENV, "0") == "1":
+        return
+    if os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
+        return
+    if jax.config.jax_default_matmul_precision is None:
+        jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def default_dtype() -> jnp.dtype:
