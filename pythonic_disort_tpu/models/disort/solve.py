@@ -128,12 +128,21 @@ def iso_poly_eval(b_rows, tau, scale_tau_l=None, antiderivative=False):
     """
     ns = b_rows.shape[-1]
     n = ns - 1
-    powers = jnp.asarray(np.arange(n, -1, -1), dtype=b_rows.dtype)
-    if antiderivative:
-        p = powers + 1.0
-        tau_poly = tau[..., None] ** p / (p * scale_tau_l[..., None])
+    # Power ladder tau^n..tau^1, 1 via cumprod, NOT jnp.power: TPU's
+    # emulated-f64 pow computes exp(p*log(tau)) so pow(0, 0) -> NaN,
+    # which poisons the boundary-value RHS whenever the top boundary
+    # (tau = 0) is evaluated with an isotropic source present.
+    ones = jnp.ones_like(tau)[..., None]
+    if n > 0:
+        tp = jnp.cumprod(
+            jnp.broadcast_to(tau[..., None], tau.shape + (n,)), axis=-1
+        )                                                # tau^1 .. tau^n
+        tau_poly = jnp.concatenate([tp[..., ::-1], ones], axis=-1)
     else:
-        tau_poly = tau[..., None] ** powers
+        tau_poly = ones
+    if antiderivative:
+        p = jnp.asarray(np.arange(n + 1, 0, -1), dtype=b_rows.dtype)
+        tau_poly = tau_poly * tau[..., None] / (p * scale_tau_l[..., None])
     return jnp.einsum("...qi,...i->...q", b_rows, tau_poly)
 
 

@@ -78,10 +78,19 @@ def _jacobi_kernel(a_ref, w_ref, v_ref, *, n, sweeps, perms):
 
     def one_sweep(_, carry):
         a, wv = carry
+        # Re-symmetrize once per sweep: roundoff asymmetry otherwise
+        # feeds the per-row pivot reads below and compounds into
+        # ~1e-4 eigenvector orthogonality error over ~90 rounds.
+        a = 0.5 * (a + jnp.swapaxes(a, 0, 1))
         for perm in perms:
             d = jnp.sum(a * eye, axis=1)                # (n, blk) diag
             pa = _perm0(a, perm)                        # rows of the partner
             offd = jnp.sum(pa * eye, axis=1)            # apq per row
+            # Partner-average the off-diagonal pivot: row p reads
+            # A[q,p], row q reads A[p,q]; averaging makes the (c, s)
+            # pair exactly consistent for both pair members, so each
+            # rotation stays orthogonal to f32 roundoff.
+            offd = 0.5 * (offd + _perm0(offd, perm))
             dp = _perm0(d, perm)
             theta = (dp - d) * 0.5
             denom = jnp.abs(theta) + jnp.sqrt(theta * theta + offd * offd)
@@ -92,12 +101,15 @@ def _jacobi_kernel(a_ref, w_ref, v_ref, *, n, sweeps, perms):
                 zero,
             )
             # Mosaic lowers lax.rsqrt to the fast approximate VPU
-            # intrinsic (~1e-3 rel err), which makes the rotations
+            # intrinsic (seed ~7-8 bits), which makes the rotations
             # visibly non-orthogonal (measured 1.8e-3 end-to-end flux
-            # error vs 2.3e-4 on the jnp path).  One Newton-Raphson
-            # refinement restores full f32 accuracy at negligible cost.
+            # error vs 2.3e-4 on the jnp path).  Two Newton-Raphson
+            # refinements restore full f32 accuracy at negligible cost
+            # (one leaves ~1.5e-4 orthogonality error that accumulates
+            # across the ~90 rotation rounds).
             x = 1.0 + t * t
             c = lax.rsqrt(x)
+            c = c * (1.5 - 0.5 * x * c * c)
             c = c * (1.5 - 0.5 * x * c * c)
             s = t * c
             cb = c[:, None, :]

@@ -97,7 +97,11 @@ def test_sweep_driver_resume(tmp_path):
     out = d2.gather()
     assert out["flux_up"].shape[0] == B
     fup_ref, _, _ = parallel.solve_fluxes(problem, tau_eval)
-    np.testing.assert_allclose(out["flux_up"], np.asarray(fup_ref), rtol=1e-12)
+    # atol floor: the driver's jitted step and the eager reference differ
+    # at denormal level (~1e-20) in fluxes whose scale is ~1e-1
+    np.testing.assert_allclose(
+        out["flux_up"], np.asarray(fup_ref), rtol=1e-12, atol=1e-15
+    )
 
 
 def test_gradients_flow():
