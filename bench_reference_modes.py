@@ -90,10 +90,18 @@ def main():
     rows.append((f"intensity solve, batched x{B} (per solve)",
                  tb * 1e3 / B, 82.0))
 
+    # ---- dispatch floor: the remote-runtime round trip ----
+    one = jnp.ones(())
+    tiny = jax.jit(lambda x: x + 1)
+    t_floor = timeit(lambda: float(np.asarray(tiny(one))))
+    rows.append(("dispatch+fetch floor (remote runtime RTT)",
+                 t_floor * 1e3, float("nan")))
+
     # ---- closure evaluation (reference cells 294-296) ----
     outs = pdt.pydisort(**kw, dtype=DTYPE)
     flux_up, u_fn = outs[1], outs[4]
-    tau_pts = np.linspace(0, float(np.max(kw["tau_arr"])), 1000)
+    # stay strictly inside the f32-rounded tau range of the solution
+    tau_pts = np.linspace(0, float(np.max(kw["tau_arr"])) * (1 - 1e-6), 1000)
     phi_pts = np.linspace(0, 2 * np.pi, 100, endpoint=False)
 
     t = timeit(lambda: np.asarray(flux_up(tau_pts)))
@@ -102,6 +110,22 @@ def main():
     rows.append(("u eval (1000 tau x 100 phi)", t * 1e3, 159.0))
     t = timeit(lambda: np.asarray(u_fn(0.5, 0.3)))
     rows.append(("u eval (1 point)", t * 1e3, 0.329))
+
+    # device-compute-only variants: scalar-reduce on device so the
+    # timing excludes the multi-MB result transfer through the tunnel
+    from pythonic_disort_tpu.models.disort import eval as ev2
+
+    cfg2, prob2 = build_problem(**kw, dtype=DTYPE)
+    sol2 = jax.block_until_ready(jax.jit(solve)(prob2))
+    tj = jnp.asarray(tau_pts, DTYPE)
+    pj = jnp.asarray(phi_pts, DTYPE)
+    red_u = jax.jit(lambda s, t_, p_: ev2.u(s, t_, p_).sum())
+    t = timeit(lambda: float(np.asarray(red_u(sol2, tj, pj))), reps=5)
+    rows.append(("u eval (1000x100, device compute only)", t * 1e3, 159.0))
+    red_f = jax.jit(lambda s, t_: ev2.flux_up(s, t_).sum())
+    t = timeit(lambda: float(np.asarray(red_f(sol2, tj))))
+    rows.append(("flux_up eval (1000 tau, device compute only)",
+                 t * 1e3, 0.849))
 
     log(f"{'mode':48s} {'ms':>10s} {'ref ms':>8s} {'speedup':>8s}")
     result = {}

@@ -137,12 +137,45 @@ def _u0_half(sol, tau, rows_slice, antiderivative):
     return out, l, st
 
 
+def _flux_half(sol, tau, rows, antiderivative):
+    """One hemisphere's diffuse flux (pre-2pi/rescale); (Ntau,).
+
+    The quadrature contraction ``(mu W) @ u0_half`` is pushed THROUGH
+    the per-tau layer gather: contracting GC/B/mathscr_b with the
+    weights first leaves per-layer (L, 2N)/(L,)/(L, Ns) tables, so the
+    gather moves vectors instead of (Ntau, N, 2N) matrix blocks — ~16x
+    less HBM traffic on the batched eval path at identical math
+    (linearity of the quadrature sum).
+    """
+    cfg = sol.config
+    l = _layer_index(sol, tau)
+    st = _scaled_tau(sol, tau, l)
+    muw = sol.mu_arr_pos * sol.W
+    fvec = jnp.einsum("i,lij->lj", muw, sol.GC[0][:, rows, :])   # (L, 2N)
+    expo = jnp.exp(_exponent(sol, l, st, sol.K[0]))
+    if antiderivative:
+        expo = expo / (sol.scale_tau[l, None] * sol.K[0][l])
+    out = jnp.einsum("tj,tj->t", fvec[l], expo)
+    if cfg.has_beam:
+        bvec = jnp.einsum("i,li->l", muw, sol.B[0][:, rows])     # (L,)
+        beam = bvec[l] * jnp.exp(-st / sol.mu0)
+        if antiderivative:
+            beam = beam / (-sol.scale_tau / sol.mu0)[l]
+        out = out + beam
+    if cfg.has_iso:
+        ivec = jnp.einsum("i,lik->lk", muw, sol.mathscr_b[:, rows, :])
+        out = out + iso_poly_eval(
+            ivec[l][:, None, :], st, sol.scale_tau[l], antiderivative
+        )[:, 0]
+    return out, l, st
+
+
 def flux_up(sol: DisortSolution, tau, antiderivative: bool = False):
     """Upward diffuse flux; (Ntau,).  Reference ``_assemble...py:446-524``."""
     tau = jnp.atleast_1d(tau)
     N = sol.config.n
-    u0_pos, _, _ = _u0_half(sol, tau, slice(0, N), antiderivative)
-    flux = 2.0 * math.pi * (sol.mu_arr_pos * sol.W) @ u0_pos
+    flux_half, _, _ = _flux_half(sol, tau, slice(0, N), antiderivative)
+    flux = 2.0 * math.pi * flux_half
     return sol.rescale_factor * flux
 
 
@@ -155,8 +188,8 @@ def flux_down(sol: DisortSolution, tau, antiderivative: bool = False):
     cfg = sol.config
     tau = jnp.atleast_1d(tau)
     N = cfg.n
-    u0_neg, l, st = _u0_half(sol, tau, slice(N, 2 * N), antiderivative)
-    diffuse = 2.0 * math.pi * (sol.mu_arr_pos * sol.W) @ u0_neg
+    flux_half, l, st = _flux_half(sol, tau, slice(N, 2 * N), antiderivative)
+    diffuse = 2.0 * math.pi * flux_half
     direct = jnp.zeros_like(tau)
     if cfg.has_beam:
         I0, mu0 = sol.I0, sol.mu0

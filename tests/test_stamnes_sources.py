@@ -240,3 +240,10 @@ def test_9corrections():
     assert np.mean(dfu - dfu_dM) > 0
     assert np.mean(dfdd - dfdd_dM) > 0
     assert np.mean(diff - diff_NT) > 0
+
+    # Stronger than the reference's mean-improvement-only assertion:
+    # the corrected run must also meet absolute accuracy bounds vs the
+    # DISORT golden (measured headroom ~2x).
+    assert np.max(dfu_dM) < 0.05, np.max(dfu_dM)
+    assert np.max(dfdd_dM) < 0.05, np.max(dfdd_dM)
+    assert np.max(diff_NT) < 0.6, np.max(diff_NT)
