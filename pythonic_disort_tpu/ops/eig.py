@@ -85,7 +85,10 @@ def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
     if eigh_method == "jacobi":
         # Batched-small-matrix path (ops/jacobi.py): ~10x faster than
         # XLA's eigh on TPU for the (modes x layers x batch) workload.
-        K2, Z = jacobi_eigh(M_sym)
+        # sort=False: eigen-column order is irrelevant downstream (the
+        # BVP coefficients adapt), and the sort's take_along_axis
+        # gather runs in the padded layout over the whole batch.
+        K2, Z = jacobi_eigh(M_sym, sort=False)
     else:
         K2, Z = jnp.linalg.eigh(M_sym)
     K = jnp.sqrt(jnp.maximum(K2, jnp.finfo(dtype).tiny))

@@ -78,22 +78,28 @@ def _inv_perm(p, q, n):
     return inv
 
 
-def jacobi_eigh(A, sweeps=None):
+def jacobi_eigh(A, sweeps=None, sort=True):
     """Eigendecomposition of symmetric ``A`` (..., N, N), batched.
 
     Returns ``(w, V)`` with eigenvalues ascending and ``A = V w V^T``.
     Drop-in replacement for ``jnp.linalg.eigh`` on large batches of
     small matrices.  Under ``jax.vmap`` the mapped axis folds into the
     internal lane batch (see ``_jacobi_eigh_vmap``).
+
+    ``sort=False`` skips the final ascending sort + eigenvector gather
+    (a padded-layout take_along_axis over the whole batch).  Column
+    order of an eigendecomposition is irrelevant to any consumer that
+    treats the columns as a basis — the discrete-ordinates solve does —
+    so its hot path opts out (`ops/eig.py`).
     """
     if sweeps is None:
-        return _jacobi_eigh_ad(A)
-    return _jacobi_core(A, sweeps)
+        return _jacobi_eigh_ad(A) if sort else _jacobi_eigh_ad_unsorted(A)
+    return _jacobi_core(A, sweeps, sort)
 
 
 @jax.custom_batching.custom_vmap
 def _jacobi_eigh_default(A):
-    return _jacobi_core(A, None)
+    return _jacobi_core(A, None, True)
 
 
 @_jacobi_eigh_default.def_vmap
@@ -102,6 +108,30 @@ def _jacobi_eigh_vmap(axis_size, in_batched, A):
     # batching rule is simply to call it on the stacked operand.
     del axis_size, in_batched
     return _jacobi_eigh_default(A), (True, True)
+
+
+@jax.custom_batching.custom_vmap
+def _jacobi_eigh_default_unsorted(A):
+    return _jacobi_core(A, None, False)
+
+
+@_jacobi_eigh_default_unsorted.def_vmap
+def _jacobi_eigh_vmap_unsorted(axis_size, in_batched, A):
+    del axis_size, in_batched
+    return _jacobi_eigh_default_unsorted(A), (True, True)
+
+
+def _eigh_jvp_rule(fn, primals, tangents):
+    (A,), (dA,) = primals, tangents
+    w, V = fn(A)
+    # Standard symmetric-eig differential: with S = V^T dA V,
+    # dw = diag(S); dV = V (F o S), F_ij = 1/(w_j - w_i), F_ii = 0.
+    S = jnp.einsum("...ji,...jk,...kl->...il", V, dA, V)
+    dw = jnp.diagonal(S, axis1=-2, axis2=-1)
+    gap = w[..., None, :] - w[..., :, None]
+    F = jnp.where(jnp.abs(gap) > 0, 1.0 / jnp.where(gap == 0, 1.0, gap), 0.0)
+    dV = jnp.einsum("...ij,...jk->...ik", V, F * S)
+    return (w, V), (dw, dV)
 
 
 @jax.custom_jvp
@@ -113,19 +143,20 @@ def _jacobi_eigh_ad(A):
 
 @_jacobi_eigh_ad.defjvp
 def _jacobi_eigh_jvp(primals, tangents):
-    (A,), (dA,) = primals, tangents
-    w, V = _jacobi_eigh_ad(A)
-    # Standard symmetric-eig differential: with S = V^T dA V,
-    # dw = diag(S); dV = V (F o S), F_ij = 1/(w_j - w_i), F_ii = 0.
-    S = jnp.einsum("...ji,...jk,...kl->...il", V, dA, V)
-    dw = jnp.diagonal(S, axis1=-2, axis2=-1)
-    gap = w[..., None, :] - w[..., :, None]
-    F = jnp.where(jnp.abs(gap) > 0, 1.0 / jnp.where(gap == 0, 1.0, gap), 0.0)
-    dV = jnp.einsum("...ij,...jk->...ik", V, F * S)
-    return (w, V), (dw, dV)
+    return _eigh_jvp_rule(_jacobi_eigh_ad, primals, tangents)
 
 
-def _jacobi_core(A, sweeps):
+@jax.custom_jvp
+def _jacobi_eigh_ad_unsorted(A):
+    return _jacobi_eigh_default_unsorted(A)
+
+
+@_jacobi_eigh_ad_unsorted.defjvp
+def _jacobi_eigh_jvp_unsorted(primals, tangents):
+    return _eigh_jvp_rule(_jacobi_eigh_ad_unsorted, primals, tangents)
+
+
+def _jacobi_core(A, sweeps, sort=True):
     A = jnp.asarray(A)
     n = A.shape[-1]
     dtype = A.dtype
@@ -150,9 +181,10 @@ def _jacobi_core(A, sweeps):
         w_l, V_l = jacobi_eigh_lanes_pallas(At, sweeps)
         w = jnp.moveaxis(w_l, -1, 0)                   # (B, n)
         V = jnp.moveaxis(V_l, -1, 0)                   # (B, n, n)
-        order = jnp.argsort(w, axis=-1)
-        w = jnp.take_along_axis(w, order, axis=-1)
-        V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+        if sort:
+            order = jnp.argsort(w, axis=-1)
+            w = jnp.take_along_axis(w, order, axis=-1)
+            V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
         return (
             w.reshape(batch_shape + (n,)),
             V.reshape(batch_shape + (n, n)),
@@ -211,9 +243,10 @@ def _jacobi_core(A, sweeps):
     w = At[jnp.arange(n), jnp.arange(n), :]        # (n, B)
     w = jnp.moveaxis(w, -1, 0)                     # (B, n)
     V = jnp.moveaxis(Vt, -1, 0)                    # (B, n, n)
-    order = jnp.argsort(w, axis=-1)
-    w = jnp.take_along_axis(w, order, axis=-1)
-    V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+    if sort:
+        order = jnp.argsort(w, axis=-1)
+        w = jnp.take_along_axis(w, order, axis=-1)
+        V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
     return (
         w.reshape(batch_shape + (n,)),
         V.reshape(batch_shape + (n, n)),
