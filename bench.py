@@ -133,11 +133,15 @@ def main():
         # BASELINE.md: flux-only+delta-M 16 layers NQuad=16 = 7.47 ms;
         # scale ~linearly in layers and ~x4 in quadrature work.
         ref = 1.0 / (0.00747 * (NLAYERS / 16) * 4 * NBANDS)
+    # Algorithmic kernel FLOP per column (eig stage + block-Thomas at
+    # 64 layers x 128 bands) — derivation in scripts/roofline.py.
+    kernel_flop_per_col = 3.876e9
     print(json.dumps({
         "metric": "columns/s/chip (64 layers, NQuad=32, 128 bands, flux-only f32)",
         "value": round(cols_per_s, 3),
         "unit": "columns/s",
         "vs_baseline": round(cols_per_s / ref, 2),
+        "eff_tflops": round(cols_per_s * kernel_flop_per_col / 1e12, 3),
     }))
 
 

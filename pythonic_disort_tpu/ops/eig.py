@@ -45,11 +45,12 @@ and unit eigenvectors exactly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .jacobi import jacobi_eigh
-from .lanes import cholesky_lanes, triangular_solve_lanes
+from .jacobi import jacobi_eigh, _use_pallas
+from .lanes import cholesky_lanes, triangular_solve_lanes, _to_lanes, _from_lanes
 
 
 def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
@@ -63,7 +64,9 @@ def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
 
     Returns
     -------
-    K : (..., N) positive eigenvalues, ascending.
+    K : (..., N) positive eigenvalues (column order unspecified — the
+        columns form a consistent basis; downstream BVP coefficients
+        adapt to whatever the order is).
     X : (..., N, N) columns are eigenvectors of ``(alpha-beta)(alpha+beta)``
         (the ``G+ + G-`` block).
     Y : (..., N, N) the ``G+ - G-`` block, ``(alpha+beta) X / K``.
@@ -71,6 +74,7 @@ def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
     Q : (..., N, N) ``Y^-1``.
     """
     dtype = Dp.dtype
+    n = Dp.shape[-1]
     rho = jnp.sqrt(w / mu).astype(dtype)            # (N,)
     c = jnp.sqrt(w * mu).astype(dtype)              # (N,)
     inv_mu_diag = jnp.diag((1.0 / mu).astype(dtype))
@@ -79,6 +83,29 @@ def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
     At = outer_rho * (Dp - Dm) - inv_mu_diag        # symmetric
     Bt = outer_rho * (Dp + Dm) - inv_mu_diag        # symmetric
 
+    if eigh_method == "jacobi" and _use_pallas(n, dtype):
+        # Fully fused VMEM kernel (ops/pallas_eig.py): Cholesky,
+        # congruence, Jacobi and all back-transforms in one pass.
+        K, V, Yr, Pr, Qr = _eig_fused(At, Bt)
+    else:
+        K, V, Yr, Pr, Qr = _eig_stage_jnp(At, Bt, eigh_method)
+
+    # Diagonal similarity scalings back to the physical eigenbasis.
+    X = V / c[:, None]
+    Y = Yr / c[:, None]
+    P = Pr * c[None, :]
+    Q = Qr * c[None, :]
+    return K, X, Y, P, Q
+
+
+def _eig_stage_jnp(At, Bt, eigh_method="jacobi"):
+    """Unfused eigen stage on padded-layout ``At``, ``Bt`` (..., N, N).
+
+    Returns the raw ``(K, V, Yr, Pr, Qr)`` — the caller applies the
+    diagonal ``c`` scalings.  This is the f64/CPU path and the autodiff
+    fallback of the fused Pallas kernel.
+    """
+    dtype = At.dtype
     L = cholesky_lanes(-Bt)                         # -Bt = L L^T (SPD)
     # M_sym = L^T (-At) L, SPD with eigenvalues K^2
     M_sym = jnp.einsum("...ji,...jk,...kl->...il", L, -At, L)
@@ -93,18 +120,52 @@ def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
         K2, Z = jnp.linalg.eigh(M_sym)
     K = jnp.sqrt(jnp.maximum(K2, jnp.finfo(dtype).tiny))
 
-    # X = c^-1 L^-T Z  (solve L^T V = Z), then scale rows by 1/c
+    # V = L^-T Z  (X before the 1/c row scale)
     V = triangular_solve_lanes(L, Z, True)
-    X = V / c[:, None]
 
-    # Y = -c^-1 L Z / K
+    # Yr = -L Z / K  (Y before the 1/c row scale)
     LZ = jnp.einsum("...ij,...jk->...ik", L, Z)
-    Y = -(LZ / c[:, None]) / K[..., None, :]
+    Yr = -LZ / K[..., None, :]
 
-    # P = X^-1 = Z^T L^T c
-    P = jnp.einsum("...ji,...kj->...ik", Z, L) * c[None, :]
+    # Pr = Z^T L^T  (P = X^-1 before the c column scale)
+    Pr = jnp.einsum("...ji,...kj->...ik", Z, L)
 
-    # Q = Y^-1 = -K Z^T L^-1 c = -K (L^-T Z)^T c, reusing V = L^-T Z
-    Q = -K[..., :, None] * jnp.swapaxes(V, -1, -2) * c[None, :]
+    # Qr = -K (L^-T Z)^T  (Q = Y^-1 before the c column scale)
+    Qr = -K[..., :, None] * jnp.swapaxes(V, -1, -2)
+    return K, V, Yr, Pr, Qr
 
-    return K, X, Y, P, Q
+
+@jax.custom_batching.custom_vmap
+def _eig_fused_core(At, Bt):
+    from .pallas_eig import eig_stage_lanes_pallas
+
+    n = At.shape[-1]
+    At_l, batch_shape = _to_lanes(At)
+    Bt_l, _ = _to_lanes(Bt)
+    K, V, Yr, Pr, Qr = eig_stage_lanes_pallas(At_l, Bt_l)
+    unl = lambda x: _from_lanes(x, batch_shape)
+    Kp = jnp.moveaxis(K, -1, 0).reshape(batch_shape + (n,))
+    return Kp, unl(V), unl(Yr), unl(Pr), unl(Qr)
+
+
+@_eig_fused_core.def_vmap
+def _eig_fused_vmap(axis_size, in_batched, At, Bt):
+    # The core flattens all leading axes into the lane batch; mapped
+    # axes just ride along.  Broadcast an unbatched operand explicitly.
+    def bc(x, batched):
+        return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+    out = _eig_fused_core(bc(At, in_batched[0]), bc(Bt, in_batched[1]))
+    return out, (True,) * 5
+
+
+@jax.custom_jvp
+def _eig_fused(At, Bt):
+    """AD wrapper: tangents route through the jnp stage (each of whose
+    building blocks carries its own custom JVP/VJP rules)."""
+    return _eig_fused_core(At, Bt)
+
+
+@_eig_fused.defjvp
+def _eig_fused_jvp(primals, tangents):
+    return jax.jvp(_eig_stage_jnp, primals, tangents)

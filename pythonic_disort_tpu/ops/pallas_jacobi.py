@@ -66,13 +66,25 @@ def _perm0(x, perm):
     return jnp.concatenate([x[i:i + 1] for i in perm], axis=0)
 
 
-def _jacobi_kernel(a_ref, w_ref, v_ref, *, n, sweeps, perms):
-    a0 = a_ref[:]                                       # (n, n, blk)
-    blk = a0.shape[-1]
-    dtype = a0.dtype
+def lanes_eye(n, blk, dtype):
+    """(n, n, blk) identity stack (2-D iota; 1-D iota is not legal on TPU)."""
     row = lax.broadcasted_iota(jnp.int32, (n, n, blk), 0)
     col = lax.broadcasted_iota(jnp.int32, (n, n, blk), 1)
-    eye = jnp.where(row == col, jnp.ones((), dtype), jnp.zeros((), dtype))
+    return jnp.where(row == col, jnp.ones((), dtype), jnp.zeros((), dtype))
+
+
+def jacobi_sweeps(a0, *, n, sweeps, perms, eye=None):
+    """Run ``sweeps`` Jacobi sweeps on VMEM values ``a0`` (n, n, blk).
+
+    Returns ``(a, wv)`` where ``diag(a)`` holds the eigenvalues and
+    ``wv = V^T`` the transposed accumulated eigenvectors.  Shared by the
+    standalone Jacobi kernel and the fused eigendecomposition kernel
+    (`ops/pallas_eig.py`).
+    """
+    blk = a0.shape[-1]
+    dtype = a0.dtype
+    if eye is None:
+        eye = lanes_eye(n, blk, dtype)
     one = jnp.ones((), dtype)
     zero = jnp.zeros((), dtype)
 
@@ -126,9 +138,15 @@ def _jacobi_kernel(a_ref, w_ref, v_ref, *, n, sweeps, perms):
 
     # int32 bounds: under global x64 mode a Python-int fori index would
     # become int64, which Mosaic does not support.
-    a, wv = lax.fori_loop(
+    return lax.fori_loop(
         jnp.int32(0), jnp.int32(sweeps), one_sweep, (a0, eye)
     )
+
+
+def _jacobi_kernel(a_ref, w_ref, v_ref, *, n, sweeps, perms):
+    a0 = a_ref[:]                                       # (n, n, blk)
+    eye = lanes_eye(n, a0.shape[-1], a0.dtype)
+    a, wv = jacobi_sweeps(a0, n=n, sweeps=sweeps, perms=perms, eye=eye)
     w_ref[:] = jnp.sum(a * eye, axis=1)
     v_ref[:] = wv                                       # = V^T
 

@@ -88,11 +88,73 @@ def solve_fluxes(problem: DisortProblem, tau_eval):
     return fluxes_at(sol, tau_eval)
 
 
+def u0_at(sol, tau):
+    """Batched zeroth-mode intensity: (B, 2N, Ntau).
+
+    ``sol``: batched solution; ``tau``: (B, Ntau).
+    """
+    return jax.vmap(ev.u0, in_axes=(0, 0))(sol, tau)
+
+
+def u_at(sol, tau, phi):
+    """Batched full intensity: (B, 2N, Ntau, Nphi).
+
+    ``tau``: (B, Ntau); ``phi``: (B, Nphi).  Capability parity with the
+    reference ``u`` closure (reference
+    ``_assemble_intensity_and_fluxes.py:170-330``) at pod-sweep scale.
+    """
+    return jax.vmap(ev.u, in_axes=(0, 0, 0))(sol, tau, phi)
+
+
+def solve_intensity(problem: DisortProblem, tau_eval, phi_eval):
+    """One fused program: batched solve + full-intensity evaluation.
+
+    Returns ``u``: (B, 2N, Ntau, Nphi).  The intensity counterpart of
+    `solve_fluxes` for sweeps that need angular output (remote sensing,
+    radiance assimilation) rather than fluxes.
+    """
+    sol = solve_batch(problem)
+    return u_at(sol, tau_eval, phi_eval)
+
+
+def actinic_at(sol, tau):
+    """Batched diffuse actinic fluxes ``(up, down)``, each (B, Ntau).
+
+    Device-native counterpart of the reference's host-side closures
+    (reference ``subroutines.py:258-318``): ``2 pi W @ u0`` per
+    hemisphere, with the delta-M direct-beam reclassification folded
+    into the downward component.
+    """
+    import math
+
+    def one(sol_i, tau_i):
+        u0v = ev.u0(sol_i, tau_i)                      # (2N, Ntau)
+        N = sol_i.config.n
+        W = sol_i.W
+        up = 2.0 * math.pi * jnp.einsum("i,it->t", W, u0v[:N])
+        dn = 2.0 * math.pi * jnp.einsum("i,it->t", W, u0v[N:])
+        dn = dn + ev.act_dscale_reclassification(sol_i, tau_i)
+        return up, dn
+
+    return jax.vmap(one, in_axes=(0, 0))(sol, tau)
+
+
+def solve_actinic(problem: DisortProblem, tau_eval):
+    """One fused program: batched solve + actinic-flux evaluation."""
+    sol = solve_batch(problem)
+    return actinic_at(sol, tau_eval)
+
+
 def solve_fluxes_sharded(problem: DisortProblem, tau_eval, mesh,
-                         axis_name: str = "batch"):
+                         axis_name="batch"):
     """`solve_fluxes` with the batch axis explicitly sharded via
     ``jax.shard_map``: each device runs its batch shard's solve as a
     fully local program.
+
+    ``axis_name`` may be one mesh axis (1-D batch) or a tuple of mesh
+    axes, e.g. ``("columns", "bands")`` for a problem whose leaves
+    carry two leading batch dimensions sharded over a 2-D mesh; the
+    local program flattens its (columns, bands) shard into one batch.
 
     Why not plain ``jit`` + ``NamedSharding``?  The lanes-layout
     kernels (`ops/jacobi.py`, `ops/blocktri.py`) reshape the batch axis
@@ -100,19 +162,37 @@ def solve_fluxes_sharded(problem: DisortProblem, tau_eval, mesh,
     sharding through those reshapes and falls back to replicating the
     whole computation on every device (measured ~0.45 weak-scaling
     efficiency at 2 devices).  ``shard_map`` pins the decomposition:
-    the interior is collective-free, so weak-scaling efficiency is
-    limited only by load balance (measured ~1.0 on a core-pinned
-    virtual CPU mesh).
+    the interior is collective-free (asserted by
+    ``tests/test_parallel.py::test_sharded_production_program_is_collective_free``),
+    so weak-scaling efficiency is limited only by load balance
+    (measured ~1.0 on a core-pinned virtual CPU mesh).
     """
     from jax.sharding import PartitionSpec as P
 
-    spec = P(axis_name)
+    if isinstance(axis_name, str):
+        spec = P(axis_name)
+        local = solve_fluxes
+    else:
+        spec = P(*axis_name)
+        nlead = len(axis_name)
+
+        def local(p, t):
+            lead = p.tau_arr.shape[:nlead]
+
+            def flat(x):
+                return x.reshape((-1,) + x.shape[nlead:])
+
+            outs = solve_fluxes(jax.tree.map(flat, p), flat(t))
+            return tuple(
+                x.reshape(lead + x.shape[1:]) for x in outs
+            )
+
     # check_vma=False: the varying-manual-axes analysis rejects scans
     # whose carry init is batch-invariant (e.g. the Legendre recurrence
     # identity rows); the interior is collective-free, so per-shard
     # execution is correct by construction.
     fn = jax.shard_map(
-        solve_fluxes, mesh=mesh,
+        local, mesh=mesh,
         in_specs=(spec, spec), out_specs=(spec, spec, spec),
         check_vma=False,
     )

@@ -45,3 +45,29 @@ def shard_batch(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
     """Place every array leaf with its leading axis sharded on the mesh."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+COLLECTIVE_OPS = (
+    "all-reduce", "all-gather", "all-to-all",
+    "collective-permute", "reduce-scatter",
+)
+
+
+def count_hlo_collectives(hlo_text: str) -> dict:
+    """Count collective ops in optimized-HLO text, per op kind.
+
+    The production sharded solve (`parallel.solve_fluxes_sharded`) is
+    collective-free by design: the batch axis is embarrassingly
+    parallel, so any collective in its compiled program is a regression
+    (and would silently evade the ``check_vma=False`` escape hatch that
+    program uses).  `tests/test_parallel.py` asserts all counts are
+    zero; `bench_scaling.py` records them in the scaling artifact.
+    """
+    counts = {}
+    for op in COLLECTIVE_OPS:
+        counts[op] = sum(
+            1 for line in hlo_text.splitlines()
+            if f"{op}-start" in line or f" {op}(" in line
+            or line.lstrip().startswith(f"%{op}")
+        )
+    return counts

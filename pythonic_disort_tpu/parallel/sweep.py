@@ -70,6 +70,14 @@ class SweepDriver:
         ``problem_for_chunk(start, stop)`` must return the batched
         problem for that half-open index range; likewise
         ``tau_eval_for_chunk``.  Returns per-chunk wall times.
+
+        NOTE (timing semantics with ``overlap=True``): ``times[ci]``
+        spans chunk ``ci``'s dispatch until its drain, which happens
+        after chunk ``ci+1`` has been dispatched — adjacent intervals
+        overlap and are NOT additive; ``sum(times.values())`` is not
+        the sweep wall time (use an outer timer for that).  With
+        ``overlap=False`` each entry is an isolated dispatch-to-sync
+        wall time and the entries are additive. (ADVICE r2 item 5)
         """
         times = {}
         n_chunks = (n_total + self.chunk_size - 1) // self.chunk_size

@@ -85,8 +85,17 @@ def _mathscr_v(tau, scale_tau, l, Nscoeffs, s_poly_coeffs, G, K,
 
     powers = np.arange(n, -1, -1)[None, :]
     if is_antiderivative_wrt_tau:
+        # The reference passes ``scale_tau`` already gathered per tau
+        # point (length Ntau); this implementation documents per-layer
+        # (length NLayers) shapes.  Accept both: gather when the length
+        # matches the layer count (if NLayers == Ntau the per-layer
+        # convention wins). (ADVICE r2 item 4)
+        scale_tau = np.atleast_1d(np.asarray(scale_tau))
+        if scale_tau.ndim > 1:              # reference callers pass (Ntau, 1)
+            scale_tau = scale_tau.reshape(-1)
+        scale_t = scale_tau[l] if scale_tau.shape[0] == K.shape[0] else scale_tau
         p = powers + 1.0
-        tau_poly = tau[:, None] ** p / (p * scale_tau[l][:, None])
+        tau_poly = tau[:, None] ** p / (p * scale_t[:, None])
     else:
         tau_poly = tau[:, None] ** powers
     return np.einsum("tqi,ti->qt", mathscr_b[l], tau_poly)

@@ -81,13 +81,17 @@ def test_mathscr_v_matches_reference():
     theirs = ref_mathscr_v(tau, scale_tau, l, Ns, s_poly, G, K, G_inv_mu_inv)
     np.testing.assert_allclose(ours, theirs, rtol=1e-12, atol=1e-12)
 
-    # antiderivative variant: reference expects scale_tau pre-gathered
-    # per tau point (see its callers); ours indexes scale_tau[l].
-    ours_ad = _mathscr_v(tau, scale_tau, l, Ns, s_poly, G, K, G_inv_mu_inv,
-                         is_antiderivative_wrt_tau=True)
+    # antiderivative variant accepts BOTH conventions: per-layer
+    # scale_tau (this framework's documented shape) and pre-gathered
+    # per tau point (what reference call sites pass) — ADVICE r2 item 4.
     theirs_ad = ref_mathscr_v(tau, scale_tau[l][:, None], l, Ns, s_poly, G, K,
                               G_inv_mu_inv, is_antiderivative_wrt_tau=True)
+    ours_ad = _mathscr_v(tau, scale_tau, l, Ns, s_poly, G, K, G_inv_mu_inv,
+                         is_antiderivative_wrt_tau=True)
     np.testing.assert_allclose(ours_ad, theirs_ad, rtol=1e-12, atol=1e-12)
+    ours_pre = _mathscr_v(tau, scale_tau[l][:, None], l, Ns, s_poly, G, K,
+                          G_inv_mu_inv, is_antiderivative_wrt_tau=True)
+    np.testing.assert_allclose(ours_pre, theirs_ad, rtol=1e-12, atol=1e-12)
 
 
 def test_affine_transform_poly_coeffs_matches_reference():
