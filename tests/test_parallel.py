@@ -191,8 +191,8 @@ def test_batched_intensity_and_actinic_match_single():
         from pythonic_disort_tpu.ops.quadrature import double_gauss
         _, W = double_gauss(nquad)
         np.testing.assert_allclose(
-            np.asarray(up_b[i]), 2 * pi * W @ u0v[:N], rtol=1e-12,
+            np.asarray(up_b[i]), 2 * pi * W @ u0v[:N], rtol=1e-12, atol=1e-14,
         )
         np.testing.assert_allclose(
-            np.asarray(dn_b[i]), 2 * pi * W @ u0v[N:], rtol=1e-12,
+            np.asarray(dn_b[i]), 2 * pi * W @ u0v[N:], rtol=1e-12, atol=1e-14,
         )
