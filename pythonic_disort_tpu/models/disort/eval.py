@@ -137,33 +137,35 @@ def _u0_half(sol, tau, rows_slice, antiderivative):
     return out, l, st
 
 
-def _flux_half(sol, tau, rows, antiderivative):
+def _flux_half(sol, tau, hemi, antiderivative):
     """One hemisphere's diffuse flux (pre-2pi/rescale); (Ntau,).
 
     The quadrature contraction ``(mu W) @ u0_half`` is pushed THROUGH
-    the per-tau layer gather: contracting GC/B/mathscr_b with the
-    weights first leaves per-layer (L, 2N)/(L,)/(L, Ns) tables, so the
-    gather moves vectors instead of (Ntau, N, 2N) matrix blocks — ~16x
-    less HBM traffic on the batched eval path at identical math
-    (linearity of the quadrature sum).
+    the per-tau layer gather: the solve already contracted GC/B/
+    mathscr_b with the weights into per-layer (L, 2N)/(L,)/(L, Ns)
+    tables (``fvec_*``/``fb_*``/``fi_*``), so the gather moves vectors
+    instead of (Ntau, N, 2N) matrix blocks — ~16x less HBM traffic on
+    the batched eval path at identical math (linearity of the
+    quadrature sum), and the batched lanes solve
+    (`batch_solve.solve_batched`) never materializes GC at all for
+    flux-only sweeps.
     """
     cfg = sol.config
     l = _layer_index(sol, tau)
     st = _scaled_tau(sol, tau, l)
-    muw = sol.mu_arr_pos * sol.W
-    fvec = jnp.einsum("i,lij->lj", muw, sol.GC[0][:, rows, :])   # (L, 2N)
+    fvec = sol.fvec_up if hemi == "up" else sol.fvec_dn          # (L, 2N)
     expo = jnp.exp(_exponent(sol, l, st, sol.K[0]))
     if antiderivative:
         expo = expo / (sol.scale_tau[l, None] * sol.K[0][l])
     out = jnp.einsum("tj,tj->t", fvec[l], expo)
     if cfg.has_beam:
-        bvec = jnp.einsum("i,li->l", muw, sol.B[0][:, rows])     # (L,)
+        bvec = sol.fb_up if hemi == "up" else sol.fb_dn          # (L,)
         beam = bvec[l] * jnp.exp(-st / sol.mu0)
         if antiderivative:
             beam = beam / (-sol.scale_tau / sol.mu0)[l]
         out = out + beam
     if cfg.has_iso:
-        ivec = jnp.einsum("i,lik->lk", muw, sol.mathscr_b[:, rows, :])
+        ivec = sol.fi_up if hemi == "up" else sol.fi_dn          # (L, Ns)
         out = out + iso_poly_eval(
             ivec[l][:, None, :], st, sol.scale_tau[l], antiderivative
         )[:, 0]
@@ -173,8 +175,7 @@ def _flux_half(sol, tau, rows, antiderivative):
 def flux_up(sol: DisortSolution, tau, antiderivative: bool = False):
     """Upward diffuse flux; (Ntau,).  Reference ``_assemble...py:446-524``."""
     tau = jnp.atleast_1d(tau)
-    N = sol.config.n
-    flux_half, _, _ = _flux_half(sol, tau, slice(0, N), antiderivative)
+    flux_half, _, _ = _flux_half(sol, tau, "up", antiderivative)
     flux = 2.0 * math.pi * flux_half
     return sol.rescale_factor * flux
 
@@ -187,8 +188,7 @@ def flux_down(sol: DisortSolution, tau, antiderivative: bool = False):
     """
     cfg = sol.config
     tau = jnp.atleast_1d(tau)
-    N = cfg.n
-    flux_half, l, st = _flux_half(sol, tau, slice(N, 2 * N), antiderivative)
+    flux_half, l, st = _flux_half(sol, tau, "dn", antiderivative)
     diffuse = 2.0 * math.pi * flux_half
     direct = jnp.zeros_like(tau)
     if cfg.has_beam:

@@ -40,8 +40,9 @@ from .types import DisortConfig, DisortProblem, DisortSolution
 def affine_transform_poly_coeffs(poly_coeffs, a_arr, b_arr):
     """Coefficients of ``p((y-b)/a)`` given those of ``p(x)``, batched.
 
-    ``poly_coeffs`` is (L, Nc), ascending order; returns (L, Nc) such
-    that ``sum_i D_i y^i = sum_i C_i x^i`` under ``y = a x + b``.
+    ``poly_coeffs`` is (..., L, Nc), ascending order; returns the same
+    shape such that ``sum_i D_i y^i = sum_i C_i x^i`` under
+    ``y = a x + b`` (``a_arr``/``b_arr``: (..., L)).
     Capability parity: reference ``subroutines.py:574-610``.
     """
     nc = poly_coeffs.shape[-1]
@@ -61,10 +62,10 @@ def affine_transform_poly_coeffs(poly_coeffs, a_arr, b_arr):
     shift_pow = jnp.asarray(shift_pow, dtype=poly_coeffs.dtype)
     jpow = jnp.asarray(np.arange(nc), dtype=poly_coeffs.dtype)
 
-    inv_a = (1.0 / a_arr)[:, None, None] ** jpow[None, None, :]
-    shifts = (-b_arr)[:, None, None] ** shift_pow[None, :, :]
-    T = binom[None, :, :] * inv_a * shifts
-    return jnp.einsum("lij,lj->li", T, poly_coeffs)
+    inv_a = (1.0 / a_arr)[..., None, None] ** jpow
+    shifts = (-b_arr)[..., None, None] ** shift_pow
+    T = binom * inv_a * shifts
+    return jnp.einsum("...lij,...lj->...li", T, poly_coeffs)
 
 
 def _lgamma(x):
@@ -401,6 +402,16 @@ def solve(problem: DisortProblem) -> DisortSolution:
     C = jnp.moveaxis(C, 0, 1)                             # (NF, L, 2N)
     GC = G * C[:, :, None, :]
 
+    # Flux tables: (mu W)-contracted mode-0 data so the flux evaluators
+    # gather per-layer vectors instead of (2N, 2N) blocks (see eval.py).
+    mu_w = mu * w
+    fvec_up = jnp.einsum("i,lij->lj", mu_w, GC[0][:, :N, :])
+    fvec_dn = jnp.einsum("i,lij->lj", mu_w, GC[0][:, N:, :])
+    fb_up = jnp.einsum("i,li->l", mu_w, B[0][:, :N])
+    fb_dn = jnp.einsum("i,li->l", mu_w, B[0][:, N:])
+    fi_up = jnp.einsum("i,lik->lk", mu_w, mathscr_b[:, :N, :])
+    fi_dn = jnp.einsum("i,lik->lk", mu_w, mathscr_b[:, N:, :])
+
     return DisortSolution(
         config=cfg,
         G=G,
@@ -422,4 +433,10 @@ def solve(problem: DisortProblem) -> DisortSolution:
         scaled_omega_arr=scaled_omega,
         weighted_leg_all=weighted_leg_all,
         weighted_scaled_leg=weighted_scaled_leg,
+        fvec_up=fvec_up,
+        fvec_dn=fvec_dn,
+        fb_up=fb_up,
+        fb_dn=fb_dn,
+        fi_up=fi_up,
+        fi_dn=fi_dn,
     )

@@ -132,6 +132,16 @@ class DisortSolution:
     scaled_omega_arr: Any         # (L,)
     weighted_leg_all: Any         # (L, nleg_all) (2l+1)-weighted, unscaled
     weighted_scaled_leg: Any      # (L, nleg) (2l+1)-weighted, delta-scaled
+    # Flux tables: the quadrature contraction (mu W) @ {GC, B, mathscr_b}
+    # per hemisphere, folded at solve time so the flux evaluators gather
+    # per-layer VECTORS instead of (2N, 2N) blocks (and, on the batched
+    # lanes path, so GC need not be materialized at all for only_flux).
+    fvec_up: Any = None           # (L, 2N)
+    fvec_dn: Any = None           # (L, 2N)
+    fb_up: Any = None             # (L,)  beam contraction (zeros if no beam)
+    fb_dn: Any = None             # (L,)
+    fi_up: Any = None             # (L, Ns) iso contraction (zeros if no iso)
+    fi_dn: Any = None             # (L, Ns)
 
 
 _register(
@@ -141,6 +151,7 @@ _register(
         "scale_tau", "mu_arr_pos", "W", "mu0", "I0", "phi0",
         "rescale_factor", "omega_arr", "f_arr", "scaled_omega_arr",
         "weighted_leg_all", "weighted_scaled_leg",
+        "fvec_up", "fvec_dn", "fb_up", "fb_dn", "fi_up", "fi_dn",
     ],
     meta_fields=["config"],
 )

@@ -146,31 +146,23 @@ def _blocktri_bwd(res, ct):
 solve_block_tridiag.defvjp(_blocktri_fwd, _blocktri_bwd)
 
 
-@jax.custom_batching.custom_vmap
-def _solve_block_tridiag_core(lower, diag, upper, rhs):
-    L = diag.shape[0]
-    B = diag.shape[-1]
-    batch_shape = diag.shape[1:-2]
+def _blocktri_lanes_impl(lower_t, diag_t, upper_t, rhs_t):
+    """Block-Thomas solve on RAW lanes operands.
 
-    # Flatten batch axes and move them into lanes: (L, B, B, nb)
-    def tmat(x):
-        return jnp.moveaxis(x.reshape((L, -1, B, B)), 1, 3)
+    ``lower_t/diag_t/upper_t``: (L, n, n, B); ``rhs_t``: (L, n, B);
+    returns ``x``: (L, n, B).  Forward-only; `solve_block_tridiag_lanes`
+    adds the AD rule, `solve_block_tridiag` the padded interface.
+    """
+    L, n = diag_t.shape[:2]
 
-    def tvec(x):
-        return jnp.moveaxis(x.reshape((L, -1, B)), 1, 2)
-
-    lower_t, diag_t, upper_t = tmat(lower), tmat(diag), tmat(upper)
-    rhs_t = tvec(rhs)
-
-    if L > 1 and _use_pallas(B, diag.dtype):
+    if L > 1 and _use_pallas(n, diag_t.dtype):
         from .pallas_blocktri import solve_block_tridiag_lanes_pallas
 
-        xs = solve_block_tridiag_lanes_pallas(lower_t, diag_t, upper_t, rhs_t)
-        return jnp.moveaxis(xs, 2, 1).reshape((L,) + batch_shape + (B,))
+        return solve_block_tridiag_lanes_pallas(lower_t, diag_t, upper_t, rhs_t)
 
     if L == 1:
         x0 = gauss_jordan_solve_lanes(diag_t[0], rhs_t[0][:, None, :])[:, 0, :]
-        return jnp.moveaxis(x0[None], 2, 1).reshape((1,) + batch_shape + (B,))
+        return x0[None]
 
     aug0 = jnp.concatenate([upper_t[0], rhs_t[0][:, None, :]], axis=1)
     sol0 = gauss_jordan_solve_lanes(diag_t[0], aug0)
@@ -199,8 +191,55 @@ def _solve_block_tridiag_core(lower, diag, upper, rhs):
 
     x_last = gs[-1]
     _, xs_rev = lax.scan(bwd, x_last, (Ws[:-1][::-1], gs[:-1][::-1]))
-    xs = jnp.concatenate([xs_rev[::-1], x_last[None]], axis=0)  # (L, B, nb)
+    return jnp.concatenate([xs_rev[::-1], x_last[None]], axis=0)  # (L, n, B)
+
+
+@jax.custom_batching.custom_vmap
+def _solve_block_tridiag_core(lower, diag, upper, rhs):
+    L = diag.shape[0]
+    B = diag.shape[-1]
+    batch_shape = diag.shape[1:-2]
+
+    # Flatten batch axes and move them into lanes: (L, B, B, nb)
+    def tmat(x):
+        return jnp.moveaxis(x.reshape((L, -1, B, B)), 1, 3)
+
+    def tvec(x):
+        return jnp.moveaxis(x.reshape((L, -1, B)), 1, 2)
+
+    xs = _blocktri_lanes_impl(tmat(lower), tmat(diag), tmat(upper), tvec(rhs))
     return jnp.moveaxis(xs, 2, 1).reshape((L,) + batch_shape + (B,))
+
+
+@jax.custom_vjp
+def solve_block_tridiag_lanes(lower_t, diag_t, upper_t, rhs_t):
+    """Block-tridiagonal solve on RAW lanes operands (see
+    `_blocktri_lanes_impl` for shapes), with reverse-mode AD via the
+    transposed system — the lanes-layout sibling of
+    `solve_block_tridiag` used by the production batched solve."""
+    return _blocktri_lanes_impl(lower_t, diag_t, upper_t, rhs_t)
+
+
+def _blocktri_lanes_fwd(lower_t, diag_t, upper_t, rhs_t):
+    x = _blocktri_lanes_impl(lower_t, diag_t, upper_t, rhs_t)
+    return x, (lower_t, diag_t, upper_t, x)
+
+
+def _blocktri_lanes_bwd(res, ct):
+    lower_t, diag_t, upper_t, x = res
+    T = lambda m: jnp.swapaxes(m, 1, 2)
+    zero = jnp.zeros_like(diag_t[:1])
+    lower_T = jnp.concatenate([zero, T(upper_t)[:-1]], axis=0)
+    upper_T = jnp.concatenate([T(lower_t)[1:], zero], axis=0)
+    y = _blocktri_lanes_impl(lower_T, T(diag_t), upper_T, ct)
+    outer = lambda a, b: a[:, :, None, :] * b[:, None, :, :]
+    zero_x = jnp.zeros_like(x[:1])
+    x_prev = jnp.concatenate([zero_x, x[:-1]], axis=0)
+    x_next = jnp.concatenate([x[1:], zero_x], axis=0)
+    return -outer(y, x_prev), -outer(y, x), -outer(y, x_next), y
+
+
+solve_block_tridiag_lanes.defvjp(_blocktri_lanes_fwd, _blocktri_lanes_bwd)
 
 
 @_solve_block_tridiag_core.def_vmap

@@ -49,8 +49,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .jacobi import jacobi_eigh, _use_pallas
-from .lanes import cholesky_lanes, triangular_solve_lanes, _to_lanes, _from_lanes
+from .jacobi import jacobi_eigh, jacobi_eigh_lanes_raw, _use_pallas
+from .lanes import (
+    cholesky_lanes,
+    cholesky_lanes_raw,
+    triangular_solve_lanes,
+    tri_solve_upper_raw,
+    _to_lanes,
+    _from_lanes,
+)
 
 
 def disort_eigh(Dp, Dm, mu, w, *, eigh_method: str = "jacobi"):
@@ -135,6 +142,48 @@ def _eig_stage_jnp(At, Bt, eigh_method="jacobi"):
     return K, V, Yr, Pr, Qr
 
 
+def _eig_stage_lanes_jnp(At_l, Bt_l):
+    """Unfused eigen stage on RAW lanes-layout ``At_l``, ``Bt_l``
+    (n, n, B).  The jnp f64/CPU path of `disort_eigh_lanes`; same math
+    as `_eig_stage_jnp` without any layout round-trips."""
+    dtype = At_l.dtype
+    L = cholesky_lanes_raw(-Bt_l)                   # -Bt = L L^T (SPD)
+    T1 = jnp.einsum("ijb,jkb->ikb", -At_l, L)
+    M = jnp.einsum("jib,jkb->ikb", L, T1)           # L^T (-At) L
+    K2, Z = jacobi_eigh_lanes_raw(M)                # unsorted, lanes
+    K = jnp.sqrt(jnp.maximum(K2, jnp.finfo(dtype).tiny))   # (n, B)
+    V = tri_solve_upper_raw(L, Z)                   # L^-T Z
+    LZ = jnp.einsum("ijb,jkb->ikb", L, Z)
+    Yr = -LZ / K[None, :, :]
+    Pr = jnp.einsum("jib,kjb->ikb", Z, L)           # Z^T L^T
+    Qr = -K[:, None, :] * jnp.swapaxes(V, 0, 1)
+    return K, V, Yr, Pr, Qr
+
+
+def _eig_stage_ad(At, Bt):
+    """AD-capable eigen stage on padded (..., n, n) layout.
+
+    Built exclusively from stock JAX primitives plus the custom_jvp
+    Jacobi wrapper, so BOTH forward- and reverse-mode autodiff work
+    (the lanes kernels carry custom_vjp rules, which reject forward
+    mode).  Serves as the tangent path of the fused Pallas kernels;
+    its primal outputs match `_eig_stage_jnp` (same rotation schedule,
+    unsorted column order)."""
+    dtype = At.dtype
+    L = jnp.linalg.cholesky(-Bt)
+    M_sym = jnp.einsum("...ji,...jk,...kl->...il", L, -At, L)
+    K2, Z = jacobi_eigh(M_sym, sort=False)
+    K = jnp.sqrt(jnp.maximum(K2, jnp.finfo(dtype).tiny))
+    V = lax.linalg.triangular_solve(
+        L, Z, left_side=True, lower=True, transpose_a=True
+    )
+    LZ = jnp.einsum("...ij,...jk->...ik", L, Z)
+    Yr = -LZ / K[..., None, :]
+    Pr = jnp.einsum("...ji,...kj->...ik", Z, L)
+    Qr = -K[..., :, None] * jnp.swapaxes(V, -1, -2)
+    return K, V, Yr, Pr, Qr
+
+
 @jax.custom_batching.custom_vmap
 def _eig_fused_core(At, Bt):
     from .pallas_eig import eig_stage_lanes_pallas
@@ -168,4 +217,64 @@ def _eig_fused(At, Bt):
 
 @_eig_fused.defjvp
 def _eig_fused_jvp(primals, tangents):
-    return jax.jvp(_eig_stage_jnp, primals, tangents)
+    # NOTE: must be _eig_stage_ad, not _eig_stage_jnp — the lanes
+    # kernels inside the latter carry custom_vjp rules, and forward-mode
+    # autodiff of a custom_vjp function raises.
+    return jax.jvp(_eig_stage_ad, primals, tangents)
+
+
+@jax.custom_jvp
+def _eig_lanes(At_l, Bt_l):
+    """Eigen stage on RAW lanes operands (n, n, B); AD routes through
+    the padded `_eig_stage_ad` with layout conversions at the boundary
+    (tangent-path only — the primal never leaves lanes layout)."""
+    n = At_l.shape[0]
+    if _use_pallas(n, At_l.dtype):
+        from .pallas_eig import eig_stage_lanes_pallas
+
+        return eig_stage_lanes_pallas(At_l, Bt_l)
+    return _eig_stage_lanes_jnp(At_l, Bt_l)
+
+
+@_eig_lanes.defjvp
+def _eig_lanes_jvp(primals, tangents):
+    At_l, Bt_l = primals
+    dAt_l, dBt_l = tangents
+    to_p = lambda x: jnp.moveaxis(x, -1, 0)         # (n, n, B) -> (B, n, n)
+    out, dout = jax.jvp(
+        _eig_stage_ad, (to_p(At_l), to_p(Bt_l)), (to_p(dAt_l), to_p(dBt_l))
+    )
+
+    def back(x):
+        return jnp.moveaxis(x, 0, -1)
+
+    return tuple(back(x) for x in out), tuple(back(x) for x in dout)
+
+
+def disort_eigh_lanes(Dp_l, Dm_l, mu, w):
+    """`disort_eigh` on RAW lanes-layout scattering kernels.
+
+    ``Dp_l``, ``Dm_l``: (N, N, B) symmetric kernels (omega/2-weighted);
+    ``mu``, ``w``: (N,).  Returns ``(K (N, B), X, Y, P, Q (N, N, B))``
+    entirely in lanes layout — the production batched solve
+    (`models/disort/batch_solve.py`) uses this to keep the whole
+    pipeline out of the padded (…, N, N) layout.  Same math as
+    `disort_eigh` (reference ``_solve_for_gen_and_part_sols.py:181``).
+    """
+    dtype = Dp_l.dtype
+    rho = jnp.sqrt(w / mu).astype(dtype)            # (N,)
+    c = jnp.sqrt(w * mu).astype(dtype)              # (N,)
+    outer_rho = (rho[:, None] * rho[None, :])[:, :, None]
+    inv_mu_diag = jnp.diag((1.0 / mu).astype(dtype))[:, :, None]
+
+    At_l = outer_rho * (Dp_l - Dm_l) - inv_mu_diag
+    Bt_l = outer_rho * (Dp_l + Dm_l) - inv_mu_diag
+
+    K, V, Yr, Pr, Qr = _eig_lanes(At_l, Bt_l)
+    # Diagonal similarity scalings back to the physical eigenbasis:
+    # rows scale by 1/c for X/Y, columns by c for P/Q.
+    X = V / c[:, None, None]
+    Y = Yr / c[:, None, None]
+    P = Pr * c[None, :, None]
+    Q = Qr * c[None, :, None]
+    return K, X, Y, P, Q

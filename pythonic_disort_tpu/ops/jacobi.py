@@ -156,6 +156,25 @@ def _jacobi_eigh_jvp_unsorted(primals, tangents):
     return _eigh_jvp_rule(_jacobi_eigh_ad_unsorted, primals, tangents)
 
 
+def jacobi_eigh_lanes_raw(At, sweeps=None):
+    """Unsorted eigendecomposition on a RAW lanes operand ``At`` (n, n, B).
+
+    Returns ``(w_l (n, B), V_l (n, n, B))`` in lanes layout.  Dispatches
+    to the Pallas VMEM kernel on TPU f32; forward-only building block
+    for callers already holding lanes-layout data.
+    """
+    n = At.shape[0]
+    dtype = At.dtype
+    if sweeps is None:
+        sweeps = default_sweeps(n, dtype)
+    if _use_pallas(n, dtype):
+        from .pallas_jacobi import jacobi_eigh_lanes_pallas
+
+        w_l, V_l = jacobi_eigh_lanes_pallas(At, sweeps)
+        return w_l, V_l
+    return _jacobi_lanes_jnp(At, sweeps)
+
+
 def _jacobi_core(A, sweeps, sort=True):
     A = jnp.asarray(A)
     n = A.shape[-1]
@@ -164,31 +183,33 @@ def _jacobi_core(A, sweeps, sort=True):
         sweeps = default_sweeps(n, dtype)
     batch_shape = A.shape[:-2]
 
+    # Batch-in-lanes layout: (N, N, B)
+    At = jnp.moveaxis(A.reshape((-1, n, n)), 0, -1)
+
+    w_l, V_l = jacobi_eigh_lanes_raw(At, sweeps)
+    w = jnp.moveaxis(w_l, -1, 0)                   # (B, n)
+    V = jnp.moveaxis(V_l, -1, 0)                   # (B, n, n)
+    if sort:
+        order = jnp.argsort(w, axis=-1)
+        w = jnp.take_along_axis(w, order, axis=-1)
+        V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+    return (
+        w.reshape(batch_shape + (n,)),
+        V.reshape(batch_shape + (n, n)),
+    )
+
+
+def _jacobi_lanes_jnp(At, sweeps):
+    """jnp lanes Jacobi (the f64/CPU path); input/output lanes (n, n, B)."""
+    n = At.shape[0]
+    dtype = At.dtype
+
     p_sched, q_sched = _round_robin_schedule(n)
     rounds = [
         (tuple(p_sched[r]), tuple(q_sched[r]),
          tuple(_inv_perm(p_sched[r], q_sched[r], n)))
         for r in range(n - 1)
     ]
-
-    # Batch-in-lanes layout: (N, N, B)
-    At = jnp.moveaxis(A.reshape((-1, n, n)), 0, -1)
-    B = At.shape[-1]
-
-    if _use_pallas(n, dtype):
-        from .pallas_jacobi import jacobi_eigh_lanes_pallas
-
-        w_l, V_l = jacobi_eigh_lanes_pallas(At, sweeps)
-        w = jnp.moveaxis(w_l, -1, 0)                   # (B, n)
-        V = jnp.moveaxis(V_l, -1, 0)                   # (B, n, n)
-        if sort:
-            order = jnp.argsort(w, axis=-1)
-            w = jnp.take_along_axis(w, order, axis=-1)
-            V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
-        return (
-            w.reshape(batch_shape + (n,)),
-            V.reshape(batch_shape + (n, n)),
-        )
 
     Vt = jnp.zeros_like(At).at[jnp.arange(n), jnp.arange(n), :].set(1.0)
 
@@ -241,13 +262,4 @@ def _jacobi_core(A, sweeps, sort=True):
     (At, Vt), _ = lax.scan(one_sweep, (At, Vt), None, length=sweeps)
 
     w = At[jnp.arange(n), jnp.arange(n), :]        # (n, B)
-    w = jnp.moveaxis(w, -1, 0)                     # (B, n)
-    V = jnp.moveaxis(Vt, -1, 0)                    # (B, n, n)
-    if sort:
-        order = jnp.argsort(w, axis=-1)
-        w = jnp.take_along_axis(w, order, axis=-1)
-        V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
-    return (
-        w.reshape(batch_shape + (n,)),
-        V.reshape(batch_shape + (n, n)),
-    )
+    return w, Vt

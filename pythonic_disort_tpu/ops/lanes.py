@@ -41,9 +41,13 @@ def cholesky_lanes(A):
     return _cholesky_core(A)
 
 
-@jax.custom_batching.custom_vmap
-def _cholesky_core(A):
-    At, batch_shape = _to_lanes(A)
+def cholesky_lanes_raw(At):
+    """Lower Cholesky factor on a RAW lanes-layout operand (n, n, B).
+
+    Forward-only building block (no AD/vmap rules) for callers that
+    already hold lanes-layout data (`models/disort/batch_solve.py`);
+    `cholesky_lanes` wraps it for padded (..., n, n) operands.
+    """
     n = At.shape[0]
 
     def body(k, carry):
@@ -58,7 +62,13 @@ def _cholesky_core(A):
         return a, Lf
 
     _, Lf = lax.fori_loop(0, n, body, (At, jnp.zeros_like(At)))
-    return _from_lanes(Lf, batch_shape)
+    return Lf
+
+
+@jax.custom_batching.custom_vmap
+def _cholesky_core(A):
+    At, batch_shape = _to_lanes(A)
+    return _from_lanes(cholesky_lanes_raw(At), batch_shape)
 
 
 @_cholesky_core.def_vmap
@@ -104,10 +114,9 @@ def _tri_solve_core(L, B, transpose):
     return _tri_solve_lower(L, B)
 
 
-@jax.custom_batching.custom_vmap
-def _tri_solve_lower(L, B):
-    Lt, batch_shape = _to_lanes(L)
-    Bt, _ = _to_lanes(B)
+def tri_solve_lower_raw(Lt, Bt):
+    """Solve ``L X = B`` on RAW lanes operands ``Lt`` (n, n, B),
+    ``Bt`` (n, m, B).  Forward-only building block."""
     n = Lt.shape[0]
 
     def body(k, X):
@@ -118,8 +127,14 @@ def _tri_solve_lower(L, B):
         xk = (bk - acc) / lkk[None, :]
         return lax.dynamic_update_slice_in_dim(X, xk[None], k, axis=0)
 
-    X = lax.fori_loop(0, n, body, jnp.zeros_like(Bt))
-    return _from_lanes(X, batch_shape)
+    return lax.fori_loop(0, n, body, jnp.zeros_like(Bt))
+
+
+@jax.custom_batching.custom_vmap
+def _tri_solve_lower(L, B):
+    Lt, batch_shape = _to_lanes(L)
+    Bt, _ = _to_lanes(B)
+    return _from_lanes(tri_solve_lower_raw(Lt, Bt), batch_shape)
 
 
 @_tri_solve_lower.def_vmap
@@ -128,11 +143,8 @@ def _tri_solve_lower_vmap(axis_size, in_batched, L, B):
     return _tri_solve_lower(L, B), True
 
 
-@jax.custom_batching.custom_vmap
-def _tri_solve_upper(L, B):
-    """Solve ``L^T X = B`` (back substitution)."""
-    Lt, batch_shape = _to_lanes(L)
-    Bt, _ = _to_lanes(B)
+def tri_solve_upper_raw(Lt, Bt):
+    """Solve ``L^T X = B`` (back substitution) on RAW lanes operands."""
     n = Lt.shape[0]
 
     def body(i, X):
@@ -144,8 +156,15 @@ def _tri_solve_upper(L, B):
         xk = (bk - acc) / lkk[None, :]
         return lax.dynamic_update_slice_in_dim(X, xk[None], k, axis=0)
 
-    X = lax.fori_loop(0, n, body, jnp.zeros_like(Bt))
-    return _from_lanes(X, batch_shape)
+    return lax.fori_loop(0, n, body, jnp.zeros_like(Bt))
+
+
+@jax.custom_batching.custom_vmap
+def _tri_solve_upper(L, B):
+    """Solve ``L^T X = B`` (back substitution)."""
+    Lt, batch_shape = _to_lanes(L)
+    Bt, _ = _to_lanes(B)
+    return _from_lanes(tri_solve_upper_raw(Lt, Bt), batch_shape)
 
 
 @_tri_solve_upper.def_vmap

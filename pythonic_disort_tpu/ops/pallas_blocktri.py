@@ -80,12 +80,19 @@ def _gauss_jordan_vmem(a, n, m):
             jnp.where(onehot[:, None, :], a, zero), axis=0
         )                                                   # (n+m, blk)
         rowk = jnp.sum(jnp.where(isk3, a, zero), axis=0)    # (n+m, blk)
-        a = jnp.where(onehot[:, None, :], rowk[None], a)    # row r <- row k
-        a = jnp.where(isk3, pivot_row[None], a)             # row k <- pivot
         pv = jnp.sum(jnp.where(cols2 == k, pivot_row, zero), axis=0)  # (blk,)
         piv = pivot_row / pv[None, :]                       # (n+m, blk)
-        colk2 = jnp.sum(jnp.where(col3 == k, a, zero), axis=1)
-        a = a - colk2[:, None, :] * piv[None]
+        # Swap + eliminate fused algebraically: after swapping rows
+        # (k <-> r), column k reads colk except colk[r] = colk[k], so
+        #   i not in {k, r}: a[i] - colk[i] piv
+        #   i = r:           rowk - colk[k] piv   (old row k, its colk entry)
+        #   i = k:           piv
+        # — one FMA pass + two selects instead of two swap passes, a
+        # second column extraction, an FMA and a select.
+        ck_k = jnp.sum(jnp.where(row2 == k, colk, zero), axis=0)      # (blk,)
+        a = a - colk[:, None, :] * piv[None]
+        row_r = rowk - ck_k[None, :] * piv                  # (n+m, blk)
+        a = jnp.where(onehot[:, None, :], row_r[None], a)
         a = jnp.where(isk3, piv[None], a)
         return a
 

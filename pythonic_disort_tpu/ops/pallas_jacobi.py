@@ -89,13 +89,12 @@ def jacobi_sweeps(a0, *, n, sweeps, perms, eye=None):
     zero = jnp.zeros((), dtype)
 
     def one_sweep(_, carry):
-        a, wv = carry
+        a, wv, d = carry
         # Re-symmetrize once per sweep: roundoff asymmetry otherwise
         # feeds the per-row pivot reads below and compounds into
         # ~1e-4 eigenvector orthogonality error over ~90 rounds.
         a = 0.5 * (a + jnp.swapaxes(a, 0, 1))
         for perm in perms:
-            d = jnp.sum(a * eye, axis=1)                # (n, blk) diag
             pa = _perm0(a, perm)                        # rows of the partner
             offd = jnp.sum(pa * eye, axis=1)            # apq per row
             # Partner-average the off-diagonal pivot: row p reads
@@ -127,6 +126,16 @@ def jacobi_sweeps(a0, *, n, sweeps, perms, eye=None):
             cb = c[:, None, :]
             sb = s[:, None, :]
 
+            # Rotation updates the diagonal analytically (classic Jacobi
+            # identity d_p' = d_p - t apq, d_q' = d_q + t apq; our
+            # per-row t already carries the q-member's sign flip), so
+            # the diag is CARRIED across rounds as an (n, blk) vector
+            # instead of re-extracted from the (n, n, blk) matrix —
+            # saves two full passes per round.  The carried value only
+            # steers pivot angles; the final eigenvalues are read from
+            # the actual matrix diagonal.
+            d = d - t * offd
+
             # T = J^T A (row pass), then A_next = row pass on T^T
             t1 = cb * a - sb * pa
             t1t = jnp.swapaxes(t1, 0, 1)
@@ -134,13 +143,15 @@ def jacobi_sweeps(a0, *, n, sweeps, perms, eye=None):
 
             # W = V^T accumulates with the same row pass
             wv = cb * wv - sb * _perm0(wv, perm)
-        return a, wv
+        return a, wv, d
 
     # int32 bounds: under global x64 mode a Python-int fori index would
     # become int64, which Mosaic does not support.
-    return lax.fori_loop(
-        jnp.int32(0), jnp.int32(sweeps), one_sweep, (a0, eye)
+    d0 = jnp.sum(a0 * eye, axis=1)
+    a, wv, _ = lax.fori_loop(
+        jnp.int32(0), jnp.int32(sweeps), one_sweep, (a0, eye, d0)
     )
+    return a, wv
 
 
 def _jacobi_kernel(a_ref, w_ref, v_ref, *, n, sweeps, perms):

@@ -17,10 +17,18 @@ import jax
 import jax.numpy as jnp
 
 from ..models.disort import eval as ev
+from ..models.disort.batch_solve import solve_batched
 from ..models.disort.solve import solve
 from ..models.disort.types import DisortConfig, DisortProblem
 
-solve_batch = jax.vmap(solve)
+# Production batched solve: the explicit lanes-layout implementation
+# (`batch_solve.solve_batched`) — the whole pipeline stays in the
+# batch-in-lanes layout, and only_flux configs never materialize the
+# padded G/GC tensors.  `solve_vmapped` (the vmap of the per-column
+# solve) is kept as the independent cross-check implementation;
+# tests/test_batch_solve.py asserts they agree over the feature matrix.
+solve_batch = solve_batched
+solve_vmapped = jax.vmap(solve)
 
 
 def make_batched_problem(
