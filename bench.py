@@ -20,8 +20,24 @@ import numpy as np
 
 import os
 
+# Persistent compilation cache: the fused Pallas eigen program costs
+# ~2 min of Mosaic/XLA compile on a cold cache (see
+# docs/performance.md, "Compile-time discipline"); with the cache the
+# second process pays ~seconds.  Opt out with PDT_COMPILE_CACHE=0 or
+# point it elsewhere with PDT_COMPILE_CACHE=/path.
+_cache = os.environ.get("PDT_COMPILE_CACHE", "/root/.cache/pdt_jax")
+if _cache not in ("0", ""):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 NCOLS = int(os.environ.get("BENCH_COLS", 64))
-CHUNK_COLS = int(os.environ.get("BENCH_CHUNK_COLS", 16))
+# r4 sweep on the v5e (docs/performance.md "Chunk size"): {2: 79.4,
+# 4: 109.5, 8: 106.9, 16: 105.6, 32: 103.8, 64: 100.9} columns/s —
+# small chunks win because 16 queued dispatches pipeline host->device
+# overheads; 2 is too small to fill the kernels' lane blocks.
+CHUNK_COLS = int(os.environ.get("BENCH_CHUNK_COLS", 4))
 NBANDS = 128
 NLAYERS = 64
 NQUAD = 32

@@ -140,6 +140,101 @@ def audit_collectives(nd):
     return counts
 
 
+def measure_distributed_worker(coordinator, nprocs, pid):
+    """Worker for the cross-process throughput measurement: a real
+    ``jax.distributed`` cluster (the single-machine analogue of
+    multi-host DCN), one virtual CPU device per process, each process
+    core-pinned by the launcher.  Times the shard_map production step
+    over the process-spanning mesh and prints the per-rep wall time."""
+    import jax
+
+    from pythonic_disort_tpu.parallel import initialize_distributed
+
+    initialize_distributed(
+        coordinator_address=coordinator, num_processes=nprocs,
+        process_id=pid,
+    )
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from bench import build_batch, CHUNK_COLS
+
+    ndev = len(jax.devices())
+    assert ndev == nprocs, (ndev, nprocs)
+    ncols = CHUNK_COLS * nprocs                  # weak scaling
+    problem, tau_eval = build_batch(jnp.float32, ncols)
+    mesh = Mesh(np.asarray(jax.devices()), ("batch",))
+    sharding = NamedSharding(mesh, P("batch"))
+
+    def shard(x):
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: np.asarray(x)[idx]
+        )
+
+    from pythonic_disort_tpu.parallel import solve_fluxes_sharded
+
+    problem_sh = jax.tree.map(shard, problem)
+    tau_sh = shard(tau_eval)
+
+    def step(p, t):
+        fup, fdn, fdir = solve_fluxes_sharded(p, t, mesh)
+        return fup.sum() + fdn.sum() + fdir.sum()
+
+    fused = jax.jit(step)
+    float(np.asarray(fused(problem_sh, tau_sh)))         # compile
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(fused(problem_sh, tau_sh)))
+        ts.append(time.perf_counter() - t0)
+    print(f"DRESULT {min(ts)} {ncols}", flush=True)
+
+
+def measure_distributed(nprocs, passes=3):
+    """Launch an ``nprocs``-process jax.distributed cluster (1 virtual
+    CPU device per process, each pinned to its own core) and return
+    columns/s of the production step across the real process boundary."""
+    import socket
+    import subprocess
+
+    best = []
+    for _ in range(passes):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        coordinator = f"127.0.0.1:{port}"
+        procs = []
+        for pid in range(nprocs):
+            env = dict(os.environ)
+            env.pop("JAX_PLATFORMS", None)
+            env["JAX_PLATFORM_NAME"] = "cpu"
+            env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+            cmd = ["taskset", "-c", str(pid % (os.cpu_count() or 1)),
+                   sys.executable, os.path.abspath(__file__), "--dworker",
+                   coordinator, str(nprocs), str(pid)]
+            procs.append(subprocess.Popen(
+                cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            ))
+        times, ncols = [], None
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            if p.returncode != 0:
+                raise RuntimeError(f"worker failed: {err[-2000:]}")
+            for line in out.splitlines():
+                if line.startswith("DRESULT "):
+                    _, t, nc = line.split()
+                    times.append(float(t))
+                    ncols = int(nc)
+        assert len(times) == nprocs and ncols is not None
+        best.append(ncols / max(times))
+    cols_per_s = float(np.median(best))
+    log(f"distributed {nprocs}-process cluster: {cols_per_s:.3f} columns/s "
+        f"(samples {[round(x, 3) for x in best]})")
+    return cols_per_s, best
+
+
 def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--one":
         # Inner invocation: measure a single device count, print cols/s.
@@ -149,6 +244,11 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--audit":
         nd = int(sys.argv[2])
         print(f"AUDIT {json.dumps(audit_collectives(nd))}", flush=True)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--dworker":
+        measure_distributed_worker(
+            sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
+        )
         return
 
     import jax

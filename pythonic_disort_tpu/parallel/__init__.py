@@ -19,6 +19,7 @@ from .batch import (
     solve_actinic,
     u0_at,
     u_at,
+    u_corrected_at,
     actinic_at,
 )
 from .sweep import SweepDriver
@@ -28,5 +29,6 @@ __all__ = [
     "initialize_distributed", "shard_batch", "count_hlo_collectives", "fluxes_at",
     "global_flux_stats", "make_batched_problem", "solve_batch",
     "solve_fluxes", "solve_fluxes_sharded", "solve_intensity",
-    "solve_actinic", "u0_at", "u_at", "actinic_at", "SweepDriver",
+    "solve_actinic", "u0_at", "u_at", "u_corrected_at", "actinic_at",
+    "SweepDriver",
 ]

@@ -114,14 +114,45 @@ def u_at(sol, tau, phi):
     return jax.vmap(ev.u, in_axes=(0, 0, 0))(sol, tau, phi)
 
 
-def solve_intensity(problem: DisortProblem, tau_eval, phi_eval):
+def u_corrected_at(sol, tau, phi):
+    """Batched NT-corrected intensity: (B, 2N, Ntau, Nphi).
+
+    The reference's primary intensity output under ``NT_cor=True`` IS
+    the corrected ``u`` (reference ``pydisort.py:643-698`` replaces
+    ``u`` with ``u_corrected`` in the return); this is its production
+    counterpart: the single-column `nt_correction` (pure and jittable)
+    vmapped over the batched solution, so pod-scale delta-M sweeps emit
+    the same de-aliased intensity the reference returns by default.
+    """
+    from ..models.disort.nt import nt_correction
+
+    def one(sol_i, tau_i, phi_i):
+        base = ev.u(sol_i, tau_i, phi_i)
+        corr = nt_correction(sol_i, tau_i, phi_i)
+        return base + sol_i.rescale_factor * corr
+
+    return jax.vmap(one, in_axes=(0, 0, 0))(sol, tau, phi)
+
+
+def solve_intensity(problem: DisortProblem, tau_eval, phi_eval,
+                    nt_correct=None):
     """One fused program: batched solve + full-intensity evaluation.
 
     Returns ``u``: (B, 2N, Ntau, Nphi).  The intensity counterpart of
     `solve_fluxes` for sweeps that need angular output (remote sensing,
     radiance assimilation) rather than fluxes.
+
+    ``nt_correct`` (default: ``problem.config.nt_correct``) applies the
+    Nakajima-Tanaka TMS/IMS corrections, matching the reference's
+    default intensity output for delta-M problems (reference
+    ``pydisort.py:375``: active when NT_cor and a beam and delta-M
+    truncation are present).
     """
     sol = solve_batch(problem)
+    if nt_correct is None:
+        nt_correct = problem.config.nt_correct
+    if nt_correct:
+        return u_corrected_at(sol, tau_eval, phi_eval)
     return u_at(sol, tau_eval, phi_eval)
 
 

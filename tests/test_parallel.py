@@ -196,3 +196,50 @@ def test_batched_intensity_and_actinic_match_single():
         np.testing.assert_allclose(
             np.asarray(dn_b[i]), 2 * pi * W @ u0v[N:], rtol=1e-12, atol=1e-14,
         )
+
+
+def test_batched_nt_corrected_intensity_matches_single():
+    """`solve_intensity(..., nt_correct=True)` == the single-column
+    NT-corrected closure (`nt.make_corrected_u`), i.e. the batched
+    production path emits the same corrected intensity the reference
+    returns by default under NT_cor=True (reference
+    ``pydisort.py:643-698``; VERDICT r3 missing item 1)."""
+    from pythonic_disort_tpu.models.disort import nt
+
+    B = 4
+    rng = np.random.default_rng(23)
+    L, nquad, nleg, nleg_all = 3, 8, 8, 32
+    thickness = rng.uniform(0.2, 1.5, (B, L))
+    tau = np.cumsum(thickness, axis=1)
+    omega = rng.uniform(0.5, 0.95, (B, L))
+    g = rng.uniform(0.6, 0.8, (B, L))
+    leg = g[..., None] ** np.arange(nleg_all)[None, None, :]
+    f_arr = leg[..., nleg]           # delta-M truncation: NT active
+    mu0 = rng.uniform(0.4, 1.0, B)
+    I0 = np.full(B, pi)
+    config = pdt.DisortConfig(
+        nquad=nquad, nleg=nleg, nleg_all=nleg_all, nfourier=nquad,
+        nlayers=L, nscoeffs=0, nbdrf=0, has_beam=True, only_flux=False,
+        has_deltam=True, nt_correct=True,
+    )
+    problem = parallel.make_batched_problem(
+        config, tau, omega, leg, mu0, I0, f_arr=f_arr, dtype=jnp.float64
+    )
+    tau_eval = jnp.asarray(tau * (1 - 1e-12))
+    phi_eval = jnp.broadcast_to(jnp.asarray([0.0, 0.7, 2.5]), (B, 3))
+
+    # nt_correct defaults to config.nt_correct=True here
+    ub = jax.jit(parallel.solve_intensity)(problem, tau_eval, phi_eval)
+    ub_raw = parallel.u_at(parallel.solve_batch(problem), tau_eval, phi_eval)
+    assert ub.shape == (B, nquad, L, 3)
+    # The correction must actually change the output
+    assert not np.allclose(np.asarray(ub), np.asarray(ub_raw))
+
+    for i in [0, 3]:
+        single = jax.tree.map(lambda x: x[i], problem)
+        sol = pdt.solve(single)
+        u_corr = nt.make_corrected_u(sol)
+        expected = u_corr(np.asarray(tau_eval[i]), np.asarray(phi_eval[i]))
+        np.testing.assert_allclose(
+            np.asarray(ub[i]), np.asarray(expected), rtol=1e-10, atol=1e-12
+        )
