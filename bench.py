@@ -114,6 +114,66 @@ def bench_ours():
     return cols_per_s
 
 
+def bench_intensity():
+    """Intensity-mode throughput: full NT-corrected u(tau, phi) at
+    NFourier=16, the reference's default intensity output for delta-M
+    problems (its ``u_corrected``).  Footprint: layer boundaries x 4
+    azimuths per column.  Disable with BENCH_INTENSITY=0."""
+    import jax
+    import jax.numpy as jnp
+    from pythonic_disort_tpu import DisortConfig
+    from pythonic_disort_tpu.parallel import (
+        make_batched_problem, solve_intensity,
+    )
+
+    chunk = int(os.environ.get("BENCH_INT_CHUNK_COLS", 2))
+    ncols = int(os.environ.get("BENCH_INT_COLS", 8))
+    nfourier = 16
+    rng = np.random.default_rng(7)
+    B = chunk * NBANDS
+    nleg_all = NQUAD + 1
+    thickness = rng.uniform(0.05, 0.5, (B, NLAYERS))
+    tau = np.cumsum(thickness, axis=1)
+    omega = rng.uniform(0.3, 0.99, (B, NLAYERS))
+    g = rng.uniform(0.5, 0.85, (B, NLAYERS))
+    leg = g[..., None] ** np.arange(nleg_all)[None, None, :]
+    config = DisortConfig(
+        nquad=NQUAD, nleg=NQUAD, nleg_all=nleg_all, nfourier=nfourier,
+        nlayers=NLAYERS, nscoeffs=0, nbdrf=0, has_beam=True,
+        only_flux=False, has_deltam=True, nt_correct=True,
+    )
+    problem = make_batched_problem(
+        config, tau, omega, leg, rng.uniform(0.2, 1.0, B),
+        np.full(B, np.pi), f_arr=leg[..., NQUAD], dtype=jnp.float32,
+    )
+    tau_eval = jnp.asarray(tau * (1 - 1e-6), jnp.float32)
+    phi_eval = jnp.broadcast_to(
+        jnp.asarray([0.0, 1.6, 3.1, 4.7], jnp.float32), (B, 4)
+    )
+
+    def step(problem, tau_eval, phi_eval):
+        return solve_intensity(problem, tau_eval, phi_eval).sum()
+
+    fused = jax.jit(step)
+    t0 = time.perf_counter()
+    float(np.asarray(fused(problem, tau_eval, phi_eval)))
+    log(f"intensity compile+first run: {time.perf_counter() - t0:.2f}s")
+    n_chunks = max(ncols // chunk, 1)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        outs = [fused(problem, tau_eval, phi_eval) for _ in range(n_chunks)]
+        for o in outs:
+            float(np.asarray(o))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    cols_per_s = n_chunks * chunk / best
+    log(f"intensity steady-state: {best*1e3:.1f} ms for {n_chunks*chunk} cols "
+        f"x {NBANDS} bands (NFourier={nfourier}, NT-corrected u at "
+        f"{NLAYERS} tau x 4 phi) -> {cols_per_s:.2f} columns/s/chip")
+    return cols_per_s
+
+
 def bench_reference():
     """Reference columns/s on host CPU for the same config (1 column =
     128 sequential band solves), or None if unavailable."""
@@ -144,6 +204,12 @@ def bench_reference():
 
 def main():
     cols_per_s = bench_ours()
+    intensity = None
+    if os.environ.get("BENCH_INTENSITY", "1") == "1":
+        try:
+            intensity = bench_intensity()
+        except Exception as e:
+            log(f"intensity bench failed: {type(e).__name__}: {e}")
     ref = bench_reference()
     if ref is None:
         # BASELINE.md: flux-only+delta-M 16 layers NQuad=16 = 7.47 ms;
@@ -152,13 +218,16 @@ def main():
     # Algorithmic kernel FLOP per column (eig stage + block-Thomas at
     # 64 layers x 128 bands) — derivation in scripts/roofline.py.
     kernel_flop_per_col = 3.876e9
-    print(json.dumps({
+    out = {
         "metric": "columns/s/chip (64 layers, NQuad=32, 128 bands, flux-only f32)",
         "value": round(cols_per_s, 3),
         "unit": "columns/s",
         "vs_baseline": round(cols_per_s / ref, 2),
         "eff_tflops": round(cols_per_s * kernel_flop_per_col / 1e12, 3),
-    }))
+    }
+    if intensity is not None:
+        out["intensity_cols_per_s"] = round(intensity, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

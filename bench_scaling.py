@@ -65,7 +65,8 @@ def measure(nd):
     return cols_per_s
 
 
-def emit(results, cpu_proxy, audit=None, samples=None, ncores=None):
+def emit(results, cpu_proxy, audit=None, samples=None, ncores=None,
+         distributed=None):
     counts = sorted(results)
     base = results[counts[0]]
     # Ideal throughput for nd devices: nd x base while each virtual
@@ -92,6 +93,8 @@ def emit(results, cpu_proxy, audit=None, samples=None, ncores=None):
         out["oversubscribed_counts"] = [nd for nd in counts if nd > ncores]
     if audit is not None:
         out["interior_collectives_8way"] = audit
+    if distributed is not None:
+        out["distributed_cluster"] = distributed
     if samples is not None:
         out["samples_columns_per_s"] = samples
     if cpu_proxy:
@@ -303,10 +306,31 @@ def main():
         if line.startswith("AUDIT "):
             audit = json.loads(line[len("AUDIT "):])
     log(f"interior collective audit (8-way): {audit}")
+
+    # throughput across a REAL process boundary (2-process
+    # jax.distributed cluster; r3 only checked correctness there)
+    dist = None
+    try:
+        nd_procs = min(2, ncores)
+        # 1-process cluster baseline through the SAME code path, so the
+        # efficiency ratio includes coordination-service overhead on
+        # both sides (apples-to-apples across the process boundary).
+        base_s, bsamples = measure_distributed(1, passes=3)
+        cols_s, dsamples = measure_distributed(nd_procs, passes=3)
+        dist = {
+            "processes": nd_procs,
+            "columns_per_s": round(cols_s, 3),
+            "samples": [round(x, 3) for x in dsamples],
+            "baseline_1proc_columns_per_s": round(base_s, 3),
+            "baseline_samples": [round(x, 3) for x in bsamples],
+            "efficiency": round(cols_s / (base_s * nd_procs), 4),
+        }
+    except Exception as e:                       # never lose the main artifact
+        dist = {"error": f"{type(e).__name__}: {e}"}
     emit(results, cpu_proxy=True, audit=audit,
          samples={str(k): [round(x, 3) for x in v]
                   for k, v in samples.items()},
-         ncores=ncores)
+         ncores=ncores, distributed=dist)
 
 
 if __name__ == "__main__":

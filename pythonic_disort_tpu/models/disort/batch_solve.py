@@ -415,10 +415,18 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
         G_out = None
         GC_out = None
     else:
+        # G is consumed by nothing downstream (the evaluators read GC,
+        # B, K and the fvec tables) — never materialize it; GC is
+        # stored layer-flattened (S, NF, L, 4N^2) so the minor dim
+        # tiles without lane padding (a trailing (2N, 2N) = (32, 32)
+        # pays 4x; at NFourier=16, L=64 that is the difference between
+        # ~4 and ~34 MB per solve — the intensity-path chunk ceiling).
+        G_out = None
         G5 = Gt.reshape(L, 2 * N, 2 * N, NF, S)
-        G_out = jnp.transpose(G5, (4, 3, 0, 1, 2))               # (S, NF, L, 2N, 2N)
         GC5 = G5 * C_t.reshape(L, 1, 2 * N, NF, S)
-        GC_out = jnp.transpose(GC5, (4, 3, 0, 1, 2))
+        GC_out = jnp.transpose(GC5, (4, 3, 0, 1, 2)).reshape(
+            S, NF, L, 4 * N * N
+        )
 
     return DisortSolution(
         config=cfg,

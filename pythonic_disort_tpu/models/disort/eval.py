@@ -81,7 +81,11 @@ def u0(sol: DisortSolution, tau, antiderivative: bool = False):
     expo = jnp.exp(_exponent(sol, l, st, sol.K[0]))
     if antiderivative:
         expo = expo / (sol.scale_tau[l, None] * sol.K[0][l])
-    out = jnp.einsum("tij,tj->it", sol.GC[0][l], expo)
+    # GC is stored layer-flattened (L, 4N^2) per mode (unpadded minor
+    # dim); gather rows per tau FIRST, then unflatten the small slab.
+    n2 = 2 * sol.config.n
+    gc0 = sol.GC[0][l].reshape(l.shape[0], n2, n2)
+    out = jnp.einsum("tij,tj->it", gc0, expo)
     if cfg.has_beam:
         beam = sol.B[0].T[:, l] * jnp.exp(-st / sol.mu0)[None, :]
         if antiderivative:
@@ -113,28 +117,6 @@ def act_dscale_reclassification(sol: DisortSolution, tau, antiderivative=False):
             I0 * jnp.exp(-tau / mu0) * -mu0
         )
     return I0 * jnp.exp(-st / mu0) - I0 * jnp.exp(-tau / mu0)
-
-
-def _u0_half(sol, tau, rows_slice, antiderivative):
-    """Shared core of the flux functions: one hemisphere of u0 (pre-2pi)."""
-    cfg = sol.config
-    N = cfg.n
-    l = _layer_index(sol, tau)
-    st = _scaled_tau(sol, tau, l)
-    expo = jnp.exp(_exponent(sol, l, st, sol.K[0]))
-    if antiderivative:
-        expo = expo / (sol.scale_tau[l, None] * sol.K[0][l])
-    GC_half = sol.GC[0][:, rows_slice, :]
-    out = jnp.einsum("tij,tj->it", GC_half[l], expo)
-    if cfg.has_beam:
-        Bh = sol.B[0][:, rows_slice].T
-        beam = Bh[:, l] * jnp.exp(-st / sol.mu0)[None, :]
-        if antiderivative:
-            beam = beam / (-sol.scale_tau / sol.mu0)[None, l]
-        out = out + beam
-    if cfg.has_iso:
-        out = out + _iso_contribution(sol, l, st, rows_slice, antiderivative).T
-    return out, l, st
 
 
 def _flux_half(sol, tau, hemi, antiderivative):
@@ -227,7 +209,9 @@ def u(
     expo = jnp.exp(_exponent(sol, l, st, sol.K))        # (NF, Ntau, 2N)
     if antiderivative:
         expo = expo / (sol.scale_tau[None, l, None] * sol.K[:, l, :])
-    um = jnp.einsum("mtij,mtj->mit", sol.GC[:, l, :, :], expo)
+    n2 = 2 * cfg.n
+    gc = sol.GC[:, l, :].reshape(NF, l.shape[0], n2, n2)
+    um = jnp.einsum("mtij,mtj->mit", gc, expo)
     if cfg.has_beam:
         beam = sol.B.transpose(0, 2, 1)[:, :, l] * jnp.exp(-st / sol.mu0)[None, None, :]
         if antiderivative:

@@ -416,7 +416,12 @@ def solve(problem: DisortProblem) -> DisortSolution:
         config=cfg,
         G=G,
         K=K_full,
-        GC=GC,
+        # GC stored layer-flattened (NF, L, 4N^2): the minor dim 4N^2
+        # tiles without lane padding (a trailing (2N, 2N) = (32, 32)
+        # pays 4x lanes), and the evaluators reshape AFTER their
+        # per-tau layer gather, so only the small gathered slab ever
+        # exists in matrix form (see eval.u / eval.u0).
+        GC=GC.reshape(GC.shape[0], GC.shape[1], -1),
         B=B,
         mathscr_b=mathscr_b,
         tau_arr=tau_arr,

@@ -112,8 +112,14 @@ class DisortSolution:
     config: DisortConfig          # static
     # Eigen/homogeneous data
     G: Any                        # (NF, L, 2N, 2N) eigenvector matrices
+                                  # (None on the batched path: nothing
+                                  # downstream consumes it)
     K: Any                        # (NF, L, 2N) eigenvalues (-K+ asc | +K+ asc)
-    GC: Any                       # (NF, L, 2N, 2N) G * C (BVP-weighted)
+    GC: Any                       # (NF, L, 4N^2) G * C (BVP-weighted),
+                                  # layer-flattened so the minor dim
+                                  # tiles without TPU lane padding; the
+                                  # evaluators reshape after the per-tau
+                                  # layer gather (None when only_flux)
     B: Any                        # (NF, L, 2N) beam particular soln (zeros if none)
     mathscr_b: Any                # (L, 2N, Ns) iso particular polynomial tensor
     # Geometry / scaling

@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .jacobi import default_sweeps
 from .pallas_jacobi import _partner_perms, jacobi_sweeps, lanes_eye
 
-LANE_BLOCK = 512
+LANE_BLOCK = 128
 
 
 def _contract_jk(A, B, n):
@@ -153,7 +153,9 @@ def _eig_fused_kernel(at_ref, bt_ref, k_ref, v_ref, y_ref, p_ref, q_ref,
     k_ref[:] = K
     v_ref[:] = V                                        # X = V / c_row
     y_ref[:] = -LZ / K[None, :, :]                      # Y = y / c_row
-    p_ref[:] = _contract_jj(wv, L, n)                   # P = p * c_col
+    # P = Z^T L^T = (L Z)^T: reuse LZ instead of a second 16-step
+    # contraction (one transpose vs n FMA passes).
+    p_ref[:] = jnp.swapaxes(LZ, 0, 1)                   # P = p * c_col
     q_ref[:] = -K[:, None, :] * jnp.swapaxes(V, 0, 1)   # Q = q * c_col
 
 

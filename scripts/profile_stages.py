@@ -25,20 +25,37 @@ from pythonic_disort_tpu.ops.lanes import cholesky_lanes, triangular_solve_lanes
 from pythonic_disort_tpu.ops.blocktri import solve_block_tridiag
 
 
-def timeit(fn, *args, reps=5):
-    # Reduce every output to one scalar on device so host sync moves
-    # 4 bytes, not whole tensors, through the remote runtime.
-    scalar = jax.jit(
-        lambda *a: sum(jnp.sum(x) for x in jax.tree.leaves(fn(*a)))
-    )
-    float(np.asarray(scalar(*args)))                # compile + warm
+def timeit(fn, *args, reps=5, inner=8):
+    # Per-call device time via an on-device repeat loop: the remote
+    # runtime costs ~33 ms per host<->device round trip, which swamps
+    # ms-scale stages (r1-r3 profiles were inflated by that much).
+    # The carried scalar perturbs the first leaf so XLA cannot hoist
+    # the loop-invariant call (see scripts/kernel_tune.py).
+    from jax import lax
+
+    leaves, treedef = jax.tree.flatten(args)
+
+    def repeat(s0, *flat):
+        def body(_, carry):
+            s, x0 = carry
+            a = jax.tree.unflatten(treedef, (x0,) + tuple(flat[1:]))
+            out = fn(*a)
+            s2 = sum(jnp.sum(x) for x in jax.tree.leaves(out)).astype(
+                jnp.float32
+            )
+            return s2, flat[0] + 0.0 * s2
+        s, _ = lax.fori_loop(0, inner, body, (s0, flat[0]))
+        return s
+
+    rfn = jax.jit(repeat)
+    z = jnp.float32(0.0)
+    float(np.asarray(rfn(z, *leaves)))              # compile + warm
     best = np.inf
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = scalar(*args)
-        float(np.asarray(out))
+        float(np.asarray(rfn(z, *leaves)))
         best = min(best, time.perf_counter() - t0)
-    return best
+    return max(best - 0.033, 1e-9) / inner
 
 
 def main():

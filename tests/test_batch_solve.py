@@ -111,9 +111,9 @@ def test_batched_matches_vmapped(nlayers, nfourier, beam, iso, bdrf,
     if only_flux:
         assert sol_l.G is None and sol_l.GC is None
     else:
-        np.testing.assert_allclose(
-            np.asarray(sol_l.G), np.asarray(sol_v.G), rtol=1e-9, atol=1e-12
-        )
+        # G is never materialized on the batched path (nothing
+        # downstream consumes it); GC is stored layer-flattened.
+        assert sol_l.G is None
         np.testing.assert_allclose(
             np.asarray(sol_l.GC), np.asarray(sol_v.GC), rtol=1e-9, atol=1e-12
         )
