@@ -89,7 +89,16 @@ def nt_correction(sol: DisortSolution, tau, phi, antiderivative: bool = False):
     solution = mathscr_B.transpose(1, 0, 2) * tms_fac[:, :, None]
 
     if L > 1:
-        # Cross-layer accumulation in log space (reference :493-591)
+        # Cross-layer accumulation (reference :493-591).  The reference
+        # (and r1-r3 here) forms cumulative decay products and divides
+        # partial sums by them; at f32 the product exp(sum log_decay)
+        # UNDERFLOWS to 0 for near-horizon streams (M_inv ~ 50 x layer
+        # thickness), turning the division into 0/0 = NaN.  Instead
+        # form the pairwise exponents CL_j - CL_l directly: every
+        # exponent is <= 0 by construction (same argument as the BVP
+        # exponential scaling, docs/derivation.md section 8.2), so the
+        # terms underflow harmlessly to 0.  Costs an (N, L, L) tensor
+        # per solve - negligible against the Fourier synthesis.
         mu0_inv = 1.0 / mu0
         front = tau_w0[:-1]
         back = tau_w0[1:]
@@ -100,29 +109,35 @@ def nt_correction(sol: DisortSolution, tau, phi, antiderivative: bool = False):
         Bneg = mathscr_B_layers[:, N:, :]
 
         log_decay = -scaled_thickness[None, :] * M_inv[:, None]   # (N, L)
-        decay_prod = jnp.concatenate(
-            [jnp.ones((N, 1), dtype), jnp.exp(jnp.cumsum(log_decay, axis=1))],
+        CL = jnp.concatenate(
+            [jnp.zeros((N, 1), dtype), jnp.cumsum(log_decay, axis=1)],
             axis=1,
         )                                                   # (N, L+1)
+        neg_cap = jnp.asarray(-88.0, dtype)                 # exp(-88) ~ f32 tiny
         if antiderivative:
             integration_factor = mu_pos[:, None] / sol.scale_tau[None, :]
 
         # POS: contributions from layers below
+        # R_pos[k, l] = sum_{j >= l+1} term_j exp(CL_j - CL_{l+1})
         thick_pos = scaled_thickness[None, :] * (M_inv + mu0_inv)[:, None]
         em1_pos = -jnp.expm1(-thick_pos)
         if antiderivative:
             em1_pos = integration_factor * em1_pos
         layer_term_pos = em1_pos * exp_front_mu0[None, :]
-        wpos = layer_term_pos * decay_prod[:, :L]
-        cs_pos = jnp.cumsum(wpos[:, ::-1], axis=1)[:, ::-1]
-        Rpos = jnp.concatenate(
-            [cs_pos[:, 1:] / decay_prod[:, 1:L], jnp.zeros((N, 1), dtype)],
-            axis=1,
+        Epos = CL[:, None, :L] - CL[:, 1:, None]            # (N, l, j)
+        jj = jnp.arange(L)
+        mask_pos = (jj[None, :] >= jj[:, None] + 1)         # (l, j)
+        Rpos = jnp.einsum(
+            "klj,kj->kl",
+            jnp.exp(jnp.where(mask_pos[None], Epos, neg_cap))
+            * mask_pos[None].astype(dtype),
+            layer_term_pos,
         )                                                   # (N, L)
         expfac_pos = jnp.exp(M_inv[:, None] * (st - back[l])[None, :])
         addition_pos = (Rpos[:, l] * expfac_pos)[:, :, None] * Bpos[l].transpose(1, 0, 2)
 
         # NEG: contributions from layers above
+        # R_neg[k, l] = sum_{j <= l-1} term_j exp(CL_l - CL_{j+1})
         thick_neg = scaled_thickness[None, :] * (M_inv - mu0_inv)[:, None]
         nonneg = thick_neg >= 0
         exp_x1 = jnp.exp(-back * mu0_inv)[None, :]
@@ -131,11 +146,13 @@ def nt_correction(sol: DisortSolution, tau, phi, antiderivative: bool = False):
         layer_term_neg = jnp.where(nonneg, -em1_neg * exp_x1, em1_neg * exp_x0)
         if antiderivative:
             layer_term_neg = -integration_factor * layer_term_neg
-        wneg = layer_term_neg / decay_prod[:, 1:]
-        cs_neg = jnp.cumsum(wneg, axis=1)
-        Rneg = jnp.concatenate(
-            [jnp.zeros((N, 1), dtype), decay_prod[:, 1:L] * cs_neg[:, :-1]],
-            axis=1,
+        Eneg = CL[:, :L, None] - CL[:, None, 1:]            # (N, l, j)
+        mask_neg = (jj[None, :] <= jj[:, None] - 1)
+        Rneg = jnp.einsum(
+            "klj,kj->kl",
+            jnp.exp(jnp.where(mask_neg[None], Eneg, neg_cap))
+            * mask_neg[None].astype(dtype),
+            layer_term_neg,
         )
         expfac_neg = jnp.exp(M_inv[:, None] * (front[l] - st)[None, :])
         addition_neg = (Rneg[:, l] * expfac_neg)[:, :, None] * Bneg[l].transpose(1, 0, 2)

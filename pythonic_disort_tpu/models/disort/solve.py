@@ -59,11 +59,25 @@ def affine_transform_poly_coeffs(poly_coeffs, a_arr, b_arr):
     )
     shift_pow = np.where(jj >= ii, jj - ii, 0)
     binom = jnp.asarray(binom, dtype=poly_coeffs.dtype)
-    shift_pow = jnp.asarray(shift_pow, dtype=poly_coeffs.dtype)
     jpow = jnp.asarray(np.arange(nc), dtype=poly_coeffs.dtype)
 
-    inv_a = (1.0 / a_arr)[..., None, None] ** jpow
-    shifts = (-b_arr)[..., None, None] ** shift_pow
+    inv_a = (1.0 / a_arr)[..., None, None] ** jpow      # a > 0 always
+    # Integer powers of (-b) via a cumprod ladder, NOT float `**`: XLA
+    # pow is exp(p log x), which is NaN for the NEGATIVE shifts that
+    # arise whenever scale_tau varies between layers (nonuniform omega
+    # or f under delta-M) — a case no uniform-omega golden exercises.
+    neg_b = -b_arr
+    ladder = jnp.concatenate(
+        [
+            jnp.ones_like(neg_b)[..., None],
+            jnp.cumprod(
+                jnp.broadcast_to(neg_b[..., None], neg_b.shape + (nc - 1,)),
+                axis=-1,
+            ),
+        ],
+        axis=-1,
+    )                                                   # (..., L, nc)
+    shifts = jnp.take(ladder, jnp.asarray(shift_pow), axis=-1)
     T = binom * inv_a * shifts
     return jnp.einsum("...lij,...lj->...li", T, poly_coeffs)
 

@@ -72,3 +72,42 @@ def test_flux_parity_rtol_1e6(name):
             o, r, rtol=RTOL, atol=atol,
             err_msg=f"{name}: {lbl} disagrees with reference beyond rtol=1e-6",
         )
+
+
+@pytest.mark.skipif(PythonicDISORT is None, reason="reference not importable")
+def test_flux_parity_nonuniform_deltam_iso():
+    """Regression: delta-M with LAYER-VARYING scale_tau + a thermal
+    polynomial source.  The affine re-expansion of the source
+    polynomials then has NONZERO translations, and computing their
+    integer powers with float `**` (XLA pow = exp(p log x)) produced
+    NaN for negative shifts — a path no uniform-omega golden case
+    exercises (found by docs/examples/quickstart.ipynb)."""
+    import pythonic_disort_tpu as pdt
+
+    NQuad = 16
+    leg = 0.75 ** np.arange(32)
+    tau_arr = np.array([0.5, 1.5, 3.0, 5.0])
+    L = 4
+    omega = np.array([0.9, 0.85, 0.8, 0.7])     # varying -> varying scale_tau
+    Leg = np.tile(leg, (L, 1))
+    s_poly = np.stack([np.full(L, 0.01), np.full(L, 0.1)], axis=1)
+    kwargs = dict(
+        tau_arr=tau_arr, omega_arr=omega, NQuad=NQuad, Leg_coeffs_all=Leg,
+        mu0=0.6, I0=np.pi, phi0=0.0, f_arr=Leg[:, NQuad],
+        s_poly_coeffs=s_poly,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ours = pdt.pydisort(**kwargs)
+        ref = PythonicDISORT.pydisort(**kwargs)
+    tau = np.linspace(0.0, 5.0, 23) * (1 - 1e-12)
+    for idx in (1,):
+        o = np.asarray(ours[idx](tau))
+        r = np.asarray(ref[idx](tau))
+        assert np.isfinite(o).all()
+        np.testing.assert_allclose(o, r, rtol=RTOL, atol=ATOL_SCALE * np.abs(r).max())
+    o_fd, o_dir = (np.asarray(x) for x in ours[2](tau))
+    r_fd, r_dir = (np.asarray(x) for x in ref[2](tau))
+    assert np.isfinite(o_fd).all()
+    np.testing.assert_allclose(o_fd, r_fd, rtol=RTOL, atol=ATOL_SCALE * np.abs(r_fd).max())
+    np.testing.assert_allclose(o_dir, r_dir, rtol=RTOL, atol=ATOL_SCALE * np.abs(r_dir).max())

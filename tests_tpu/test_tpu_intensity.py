@@ -215,3 +215,33 @@ def test_f32_batched_nt_corrected_intensity():
     np.testing.assert_allclose(
         res["float64"][1], np.asarray(expected), rtol=1e-7, atol=1e-9
     )
+
+
+def test_f32_nt_thick_layers_near_horizon_streams():
+    """Regression: the NT cross-layer accumulation must not divide by
+    cumulative decay products — at f32 they underflow to zero for
+    near-horizon streams (M_inv ~ 50 x layer thickness) and the
+    division produced NaN (0/0).  The pairwise log-space form keeps
+    every exponent <= 0.  Config: 4 thick-ish layers, varying omega,
+    thermal source, Lambertian surface, NT on."""
+    import warnings
+
+    NQ = 16
+    leg = 0.75 ** np.arange(32)
+    tau_arr = np.array([0.5, 1.5, 3.0, 5.0])
+    L = 4
+    omega = np.array([0.9, 0.85, 0.8, 0.7])
+    Leg = np.tile(leg, (L, 1))
+    s_poly = np.stack([np.full(L, 0.01), np.full(L, 0.1)], axis=1)
+    kw = dict(
+        tau_arr=tau_arr, omega_arr=omega, NQuad=NQ, Leg_coeffs_all=Leg,
+        mu0=0.6, I0=np.pi, phi0=0.0, f_arr=Leg[:, NQ],
+        s_poly_coeffs=s_poly, BDRF_Fourier_modes=[0.2], NT_cor=True,
+    )
+    outs = _solve_both(kw)
+    tg = np.linspace(0, 5, 9) * (1 - 1e-6)
+    ph = np.array([0.0, 2.0])
+    u32 = outs["float32"][4](tg, ph)
+    u64 = outs["float64"][4](tg, ph)
+    assert np.isfinite(np.asarray(u32)).all()
+    _bounded(u32, u64, 2e-3, "NT u thick layers")
