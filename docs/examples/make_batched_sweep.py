@@ -19,7 +19,12 @@ runs on a TPU pod slice."""),
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+# CPU demo.  Use the config (not the JAX_PLATFORMS env var): with some
+# PJRT plugins registered, selecting "cpu" via the env var still
+# initializes the plugin and its host->device transfer can round f64
+# at the ULP level; the config route never activates it.
+jax.config.update("jax_platforms", "cpu")
 for up in ("../..", "."):
     p = os.path.abspath(up)
     if os.path.isdir(os.path.join(p, "pythonic_disort_tpu")):

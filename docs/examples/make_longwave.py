@@ -14,7 +14,12 @@ internal blackbody emission as per-layer polynomials in tau, a surface
 with Lambertian reflectance and the matching Kirchhoff emissivity, and
 band-integrated Planck boundary contributions).  Runs on CPU f64."""),
     code("""import os, sys
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+# CPU demo.  Use the config (not the JAX_PLATFORMS env var): with some
+# PJRT plugins registered, selecting "cpu" via the env var still
+# initializes the plugin and its host->device transfer can round f64
+# at the ULP level; the config route never activates it.
+jax.config.update("jax_platforms", "cpu")
 for up in ("../..", "."):
     p = os.path.abspath(up)
     if os.path.isdir(os.path.join(p, "pythonic_disort_tpu")):

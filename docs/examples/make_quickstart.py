@@ -18,7 +18,12 @@ truncation with Nakajima-Tanaka intensity corrections, a linear-in-tau
 thermal source, and a Lambertian surface."""))
 
 cells.append(code("""import os, sys
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+# CPU demo.  Use the config (not the JAX_PLATFORMS env var): with some
+# PJRT plugins registered, selecting "cpu" via the env var still
+# initializes the plugin and its host->device transfer can round f64
+# at the ULP level; the config route never activates it.
+jax.config.update("jax_platforms", "cpu")
 # when executed from docs/examples, add the repo root
 for up in ("../..", "."):
     p = os.path.abspath(up)

@@ -42,7 +42,10 @@ import jax.numpy as jnp
 
 from ...ops.eig import disort_eigh_lanes
 from ...ops.blocktri import solve_block_tridiag_lanes
-from ...ops.legendre import normalized_assoc_legendre
+from ...ops.legendre import (
+    normalized_assoc_legendre,
+    normalized_assoc_legendre_host,
+)
 from ...ops.quadrature import double_gauss
 from .types import DisortProblem, DisortSolution
 from .solve import affine_transform_poly_coeffs, iso_poly_eval
@@ -141,9 +144,13 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
     I0_div_4pi = I0 / (4.0 * math.pi)
 
     # ---- phase-function kernels, built directly in lanes layout ----
-    # lam over the quadrature nodes is shared by every solve; lam at
-    # the per-solve -mu0 is a separate batched evaluation.
-    lam_mu = normalized_assoc_legendre(NF, NLeg, mu)            # (NF, NLeg, N)
+    # lam over the quadrature nodes is shared by every solve AND known
+    # at trace time: embed it as a program constant (the on-device
+    # recurrence cost ~2.3 ms/chunk); lam at the per-solve -mu0 stays a
+    # batched device evaluation.
+    lam_mu = jnp.asarray(
+        normalized_assoc_legendre_host(NF, NLeg, mu_np), dtype
+    )                                                           # (NF, NLeg, N)
     ms = np.arange(NF)[:, None]
     lseq = np.arange(NLeg)[None, :]
     mode_mask = jnp.asarray((lseq >= ms).astype(np.float64), dtype)
@@ -188,7 +195,11 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
 
     # ---- beam particular solution (reference _solve...py:209-231) ----
     if cfg.has_beam:
-        lam_m0 = normalized_assoc_legendre(NF, NLeg, -mu0)       # (NF, NLeg, S)
+        if problem.lam_mu0 is not None:
+            # host-precomputed at problem build (make_batched_problem)
+            lam_m0 = jnp.transpose(problem.lam_mu0, (1, 2, 0))   # (NF, NLeg, S)
+        else:
+            lam_m0 = normalized_assoc_legendre(NF, NLeg, -mu0)   # (NF, NLeg, S)
         delta_m0 = np.where(np.arange(NF) == 0, 1.0, 2.0)
         xf_parts_p, xf_parts_n = [], []
         for m in range(NF):

@@ -87,6 +87,12 @@ class DisortProblem:
     s_poly_coeffs: Any            # (L, max(Ns,1)) iso-source polynomials
     bdrf_modes: Any               # (NB, N, N)
     bdrf_modes_mu0: Any           # (NB, N)
+    # Optional host-precomputed associated-Legendre table at -mu0,
+    # (B, NF, NLeg) on the batched path (same spirit as the
+    # pre-evaluated BDRF modes above): the beam phase-function basis is
+    # a pure function of mu0, and the on-device degree recurrence costs
+    # ~2.3 ms per 512-column chunk.  None -> computed on device.
+    lam_mu0: Any = None
 
 
 _register(
@@ -94,7 +100,7 @@ _register(
     data_fields=[
         "tau_arr", "omega_arr", "leg_coeffs_all", "f_arr", "mu0", "I0",
         "phi0", "b_pos", "b_neg", "s_poly_coeffs", "bdrf_modes",
-        "bdrf_modes_mu0",
+        "bdrf_modes_mu0", "lam_mu0",
     ],
     meta_fields=["config"],
 )

@@ -56,6 +56,21 @@ def make_batched_problem(
             return jnp.zeros((B,) + shape, dtype)
         return jnp.asarray(x, dtype)
 
+    # Host-precomputed beam phase-function basis at -mu0 (a pure
+    # function of the input geometry, like the pre-evaluated BDRF
+    # modes): saves the on-device Legendre degree recurrence per chunk.
+    from ..ops.legendre import normalized_assoc_legendre_host
+
+    lam_mu0 = jnp.asarray(
+        np.transpose(
+            normalized_assoc_legendre_host(
+                NF, config.nleg, -np.asarray(mu0, np.float64)
+            ),
+            (2, 0, 1),
+        ),
+        dtype,
+    )                                                   # (B, NF, NLeg)
+
     return DisortProblem(
         config=config,
         tau_arr=jnp.asarray(tau_arr, dtype),
@@ -72,6 +87,7 @@ def make_batched_problem(
         ),
         bdrf_modes=_arr(bdrf_modes, (max(config.nbdrf, 1), N, N)),
         bdrf_modes_mu0=_arr(bdrf_modes_mu0, (max(config.nbdrf, 1), N)),
+        lam_mu0=lam_mu0,
     )
 
 
