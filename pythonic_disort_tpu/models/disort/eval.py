@@ -28,8 +28,19 @@ from .types import DisortSolution
 
 
 def _layer_index(sol: DisortSolution, tau):
-    """Layer index of each tau: tau in (tau_{l-1}, tau_l] -> l."""
-    l = jnp.searchsorted(sol.tau_arr, tau, side="left")
+    """Layer index of each tau: tau in (tau_{l-1}, tau_l] -> l.
+
+    Dense compare-and-count instead of ``jnp.searchsorted``: under vmap
+    the binary search lowers to a sequential while loop with gathers
+    (measured 2.35 ms per 512-column bench chunk, ~8% of the solve);
+    the O(L) comparison is one fully vectorized pass and is equivalent
+    to ``searchsorted(side="left")`` (count of strictly-smaller layer
+    boundaries).
+    """
+    l = jnp.sum(
+        (sol.tau_arr[..., None, :] < tau[..., :, None]).astype(jnp.int32),
+        axis=-1,
+    )
     return jnp.clip(l, 0, sol.config.nlayers - 1)
 
 
