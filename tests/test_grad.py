@@ -213,3 +213,46 @@ def test_grad_wrt_beam_geometry():
     g = float(jax.grad(loss)(jnp.asarray(0.6)))
     fd = _fd_grad(lambda v: loss(v[0]), np.array([0.6]))[0]
     np.testing.assert_allclose(g, fd, rtol=1e-5)
+
+
+def test_grad_through_batched_nt_corrected_intensity():
+    """d(NT-corrected u)/d(omega) through the full batched production
+    path (`parallel.solve_intensity(..., nt_correct=True)`): the TMS/IMS
+    corrections are pure jnp, so the gradient must flow through the
+    truncated/true phase-function split, the pairwise log-space
+    cross-layer accumulation, and the Fourier solution, and match
+    finite differences."""
+    from pythonic_disort_tpu import parallel
+
+    B, L, nquad, nleg, nleg_all = 2, 3, 8, 8, 24
+    rng = np.random.default_rng(3)
+    tau = np.cumsum(rng.uniform(0.3, 1.0, (B, L)), axis=1)
+    g = rng.uniform(0.6, 0.75, (B, L))
+    leg = g[..., None] ** np.arange(nleg_all)[None, None, :]
+    f_arr = leg[..., nleg]
+    mu0 = rng.uniform(0.5, 1.0, B)
+    config = pdt.DisortConfig(
+        nquad=nquad, nleg=nleg, nleg_all=nleg_all, nfourier=nquad,
+        nlayers=L, nscoeffs=0, nbdrf=0, has_beam=True, only_flux=False,
+        has_deltam=True, nt_correct=True,
+    )
+    tau_eval = jnp.asarray(tau * 0.7)
+    phi_eval = jnp.broadcast_to(jnp.asarray([0.4, 2.2]), (B, 2))
+    omega0 = rng.uniform(0.6, 0.9, (B, L))
+
+    def loss(omega):
+        problem = parallel.make_batched_problem(
+            config, tau, omega, leg, mu0, np.full(B, pi),
+            f_arr=f_arr, dtype=jnp.float64,
+        )
+        u = parallel.solve_intensity(problem, tau_eval, phi_eval)
+        return jnp.sum(u**2)
+
+    grad = jax.jit(jax.grad(loss))(jnp.asarray(omega0))
+    assert np.isfinite(np.asarray(grad)).all()
+    eps = 1e-6
+    for (i, l) in [(0, 0), (1, 2)]:
+        op = omega0.copy(); op[i, l] += eps
+        om = omega0.copy(); om[i, l] -= eps
+        fd = (float(loss(jnp.asarray(op))) - float(loss(jnp.asarray(om)))) / (2 * eps)
+        np.testing.assert_allclose(float(grad[i, l]), fd, rtol=2e-5)
