@@ -297,13 +297,6 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
         decay_q.reshape(N, NF, L, S), (2, 0, 1, 3)
     ).reshape(L, N, NFS)
 
-    Mtop_t = jnp.concatenate(
-        [Gt[:, :, :N, :] * decay_t[:, None, :, :], Gt[:, :, N:, :]], axis=2
-    )
-    Mbot_t = jnp.concatenate(
-        [Gt[:, :, :N, :], Gt[:, :, N:, :] * decay_t[:, None, :, :]], axis=2
-    )
-
     # Bottom BC rows: (G_pn - R G_nn) decay | (G_pp - R G_np)
     GL = Gt[-1]                                                  # (2N, 2N, NFS)
     if has_bdrf:
@@ -316,29 +309,51 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
         bot_right = GL[:N, N:]
     Bt_rows = jnp.concatenate([bot_left, bot_right], axis=1)     # (N, 2N, NFS)
 
-    if L == 1:
-        Dg_t = jnp.concatenate([Mbot_t[0, N:, :, :], Bt_rows], axis=0)[None]
-        lower_t = jnp.zeros_like(Dg_t)
-        upper_t = jnp.zeros_like(Dg_t)
-    else:
-        d_top = jnp.concatenate(
-            [Mbot_t[0:1, N:, :, :], -Mbot_t[1:, N:, :, :]], axis=0
+    import os as _os
+    from ...ops.blocktri import _use_pallas as _bt_use_pallas
+
+    # Default-on (opt out: PYDISORT_TPU_FUSED_BVP=0): build the BVP blocks inside
+    # the Pallas block-Thomas kernel from Gt/decay directly instead of
+    # materializing lower/diag/upper (3 x (L, 2N, 2N, NFS)) in HBM.
+    _fused_bvp = (
+        _os.environ.get("PYDISORT_TPU_FUSED_BVP", "1") == "1"
+        and _bt_use_pallas(2 * N, dtype)
+    )
+    if not _fused_bvp:
+        Mtop_t = jnp.concatenate(
+            [Gt[:, :, :N, :] * decay_t[:, None, :, :], Gt[:, :, N:, :]],
+            axis=2,
         )
-        d_bot = jnp.concatenate(
-            [Mtop_t[: L - 1, :N, :, :], Bt_rows[None]], axis=0
+        Mbot_t = jnp.concatenate(
+            [Gt[:, :, :N, :], Gt[:, :, N:, :] * decay_t[:, None, :, :]],
+            axis=2,
         )
-        Dg_t = jnp.concatenate([d_top, d_bot], axis=1)           # (L, 2N, 2N, NFS)
-        zN = jnp.zeros((1, N, 2 * N, NFS), dtype)
-        lower_t = jnp.concatenate(
-            [jnp.concatenate([zN, Mtop_t[: L - 1, N:, :, :]], axis=0),
-             jnp.zeros((L, N, 2 * N, NFS), dtype)],
-            axis=1,
-        )
-        upper_t = jnp.concatenate(
-            [jnp.zeros((L, N, 2 * N, NFS), dtype),
-             jnp.concatenate([-Mbot_t[1:, :N, :, :], zN], axis=0)],
-            axis=1,
-        )
+
+        if L == 1:
+            Dg_t = jnp.concatenate(
+                [Mbot_t[0, N:, :, :], Bt_rows], axis=0
+            )[None]
+            lower_t = jnp.zeros_like(Dg_t)
+            upper_t = jnp.zeros_like(Dg_t)
+        else:
+            d_top = jnp.concatenate(
+                [Mbot_t[0:1, N:, :, :], -Mbot_t[1:, N:, :, :]], axis=0
+            )
+            d_bot = jnp.concatenate(
+                [Mtop_t[: L - 1, :N, :, :], Bt_rows[None]], axis=0
+            )
+            Dg_t = jnp.concatenate([d_top, d_bot], axis=1)       # (L, 2N, 2N, NFS)
+            zN = jnp.zeros((1, N, 2 * N, NFS), dtype)
+            lower_t = jnp.concatenate(
+                [jnp.concatenate([zN, Mtop_t[: L - 1, N:, :, :]], axis=0),
+                 jnp.zeros((L, N, 2 * N, NFS), dtype)],
+                axis=1,
+            )
+            upper_t = jnp.concatenate(
+                [jnp.zeros((L, N, 2 * N, NFS), dtype),
+                 jnp.concatenate([-Mbot_t[1:, :N, :, :], zN], axis=0)],
+                axis=1,
+            )
 
     # ---- RHS (reference _solve_for_coeffs.py:139-256); kept as
     # (rows, NF, S) until the final reshape so mode-0 corrections are
@@ -401,7 +416,14 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
             1, 2 * N, NFS
         )
 
-    C_t = solve_block_tridiag_lanes(lower_t, Dg_t, upper_t, rhs_t)  # (L, 2N, NFS)
+    if _fused_bvp:
+        from ...ops.pallas_blocktri import solve_bvp_fused_pallas
+
+        C_t = solve_bvp_fused_pallas(Gt, decay_t, Bt_rows, rhs_t)
+    else:
+        C_t = solve_block_tridiag_lanes(
+            lower_t, Dg_t, upper_t, rhs_t
+        )                                                        # (L, 2N, NFS)
 
     # ---- flux tables: quadrature contraction folded in lanes ----
     # fvec[l, j] = sum_{i in hemi} (mu w)_i G[l, i, j] C[l, j]; the

@@ -164,6 +164,205 @@ def _bwd_kernel(W_ref, g_ref, x_ref, xnext, *, n):
     xnext[...] = acc
 
 
+def _fused_fwd_kernel(g_ref, d_ref, bt_ref, rhs_ref, W_ref, gv_ref,
+                      Gc, dc, Gp, dp, Wprev, gprev, *, n2, L):
+    """Forward block-Thomas with the BVP block assembly fused in.
+
+    Grid (nb, L+1), delayed one step: grid step ``t`` eliminates layer
+    ``l = t-1`` using G[l-1] / G[l] from VMEM scratch carries and
+    G[l+1] from this step's input block, building the lower/diag/upper
+    blocks on the fly (the XLA assembly materialized ~5 full
+    (L, 2N, 2N, NFS) tensors in HBM; here only G and the decays are
+    read).  Block structure (see `batch_solve.py` BVP assembly):
+
+      Mtop_l = [G_l[:, :N] * decay_l | G_l[:, N:]]
+      Mbot_l = [G_l[:, :N] | G_l[:, N:] * decay_l]
+      D_l    = [ (+ if l==0 else -) Mbot_l[N:] ;
+                 Mtop_l[:N] if l < L-1 else bt_rows ]
+      Low_l  = [ Mtop_{l-1}[N:] ; 0 ]      (0 for l == 0)
+      U_l    = [ 0 ; -Mbot_{l+1}[:N] ]     (0 for l == L-1)
+    """
+    t = pl.program_id(1)
+    n = n2 // 2
+    Gn = g_ref[0]                                           # (2N, 2N, blk)
+    dn = d_ref[0]                                           # (N, blk)
+
+    @pl.when(t == 0)
+    def _():
+        Gc[...] = Gn
+        dc[...] = dn
+        Gp[...] = jnp.zeros_like(Gp)
+        dp[...] = jnp.zeros_like(dp)
+        Wprev[...] = jnp.zeros_like(Wprev)
+        gprev[...] = jnp.zeros_like(gprev)
+
+    @pl.when(t > 0)
+    def _():
+        l = t - 1
+        Gl = Gc[...]
+        dl = dc[...][None, :, :]                            # cols :N scale
+        Gm = Gp[...]
+        dm = dp[...][None, :, :]
+        r = rhs_ref[0]                                      # (2N, blk)
+
+        # dtype-typed constants: f64 literals under global x64 trace to
+        # an f64 select, which Mosaic cannot legalize
+        one = jnp.ones((), Gl.dtype)
+        sign = jnp.where(l == 0, one, -one)
+        d_top = sign * jnp.concatenate(
+            [Gl[n:, :n, :], Gl[n:, n:, :] * dl], axis=1
+        )                                                   # (N, 2N, blk)
+        mtop_l = jnp.concatenate(
+            [Gl[:n, :n, :] * dl, Gl[:n, n:, :]], axis=1
+        )
+        d_bot = jnp.where(l == L - 1, bt_ref[...], mtop_l)
+        D = jnp.concatenate([d_top, d_bot], axis=0)         # (2N, 2N, blk)
+
+        # correction from the previous layer: Low rows are only the
+        # TOP half (Mtop_{l-1}[N:]); bottom rows of Low are zero.
+        low_top = jnp.where(
+            l == 0,
+            jnp.zeros_like(Gm[n:]),
+            jnp.concatenate([Gm[n:, :n, :] * dm, Gm[n:, n:, :]], axis=1),
+        )                                                   # (N, 2N, blk)
+        Wp = Wprev[...]
+        gp_v = gprev[...]
+        aug_prev = jnp.concatenate([Wp, gp_v[:, None, :]], axis=1)
+        corr_top = _matmul_lanes_unrolled(low_top, aug_prev, n2)  # (N, 2N+1, blk)
+        dhat = jnp.concatenate([D[:n] - corr_top[:, :n2, :], D[n:]], axis=0)
+        rhat = jnp.concatenate(
+            [r[:n] - corr_top[:, n2, :], r[n:]], axis=0
+        )                                                   # (2N, blk)
+
+        # upper block: bottom half = -Mbot_{l+1}[:N]; zero on the last
+        # layer (Gn then holds a stale block - mask it).
+        u_bot = jnp.where(
+            l == L - 1,
+            jnp.zeros_like(Gn[:n]),
+            -jnp.concatenate([Gn[:n, :n, :], Gn[:n, n:, :] * dn[None]], axis=1),
+        )
+        U = jnp.concatenate([jnp.zeros_like(u_bot), u_bot], axis=0)
+
+        aug = jnp.concatenate([dhat, U, rhat[:, None, :]], axis=1)
+        sol = _gauss_jordan_vmem(aug, n2, n2 + 1)[:, n2:, :]
+        W = sol[:, :n2, :]
+        gv = sol[:, n2, :]
+        W_ref[0] = W
+        gv_ref[0] = gv
+        Wprev[...] = W
+        gprev[...] = gv
+        Gp[...] = Gl
+        dp[...] = dc[...]
+        Gc[...] = Gn
+        dc[...] = dn
+
+
+def solve_bvp_fused_pallas(Gt, decay_t, bt_rows, rhs_t):
+    """Block-Thomas solve with in-kernel BVP assembly.
+
+    Args: ``Gt`` (L, 2N, 2N, B) eigenvector blocks; ``decay_t``
+    (L, N, B) homogeneous decay factors; ``bt_rows`` (N, 2N, B) the
+    BDRF-corrected bottom boundary rows; ``rhs_t`` (L, 2N, B).
+    Returns ``x`` (L, 2N, B).  Same result as assembling
+    lower/diag/upper in XLA and calling
+    `solve_block_tridiag_lanes_pallas` (asserted by tests), without
+    materializing the three (L, 2N, 2N, B) operands in HBM.
+    """
+    L, n2, _, B = Gt.shape
+    n = n2 // 2
+    dtype = Gt.dtype
+    blk = _lane_block(n2)
+    Bp = ((B + blk - 1) // blk) * blk
+    if Bp != B:
+        pad = Bp - B
+        Gt = jnp.concatenate(
+            [Gt, jnp.broadcast_to(
+                jnp.eye(n2, dtype=dtype)[None, :, :, None], (L, n2, n2, pad)
+            )], axis=-1)
+        decay_t = jnp.concatenate(
+            [decay_t, jnp.zeros((L, n, pad), dtype)], axis=-1)
+        bt_rows = jnp.concatenate(
+            [bt_rows,
+             jnp.broadcast_to(jnp.eye(n, n2, dtype=dtype)[:, :, None],
+                              (n, n2, pad))], axis=-1)
+        rhs_t = jnp.concatenate(
+            [rhs_t, jnp.zeros((L, n2, pad), dtype)], axis=-1)
+
+    nb = Bp // blk
+    z = np.int32(0)
+    Lc = np.int32(L - 1)
+
+    def g_spec():
+        # at grid step t present G[min(t, L-1)] (t = l+1)
+        return pl.BlockSpec(
+            (1, n2, n2, blk),
+            lambda i, t: (jnp.minimum(t, Lc), z, z, i),
+            memory_space=pltpu.VMEM,
+        )
+
+    def d_spec():
+        return pl.BlockSpec(
+            (1, n, blk), lambda i, t: (jnp.minimum(t, Lc), z, i),
+            memory_space=pltpu.VMEM,
+        )
+
+    def out_mat_spec():
+        # write layer l = max(t-1, 0)
+        return pl.BlockSpec(
+            (1, n2, n2, blk),
+            lambda i, t: (jnp.maximum(t - 1, 0), z, z, i),
+            memory_space=pltpu.VMEM,
+        )
+
+    def out_vec_spec():
+        return pl.BlockSpec(
+            (1, n2, blk), lambda i, t: (jnp.maximum(t - 1, 0), z, i),
+            memory_space=pltpu.VMEM,
+        )
+
+    bt_spec = pl.BlockSpec((n, n2, blk), lambda i, t: (z, z, i),
+                           memory_space=pltpu.VMEM)
+
+    W, g = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel, n2=n2, L=L),
+        grid=(nb, L + 1),
+        in_specs=[g_spec(), d_spec(), bt_spec, out_vec_spec()],
+        out_specs=[out_mat_spec(), out_vec_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, n2, n2, Bp), dtype),
+            jax.ShapeDtypeStruct((L, n2, Bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n2, n2, blk), dtype),   # Gc
+            pltpu.VMEM((n, blk), dtype),        # dc
+            pltpu.VMEM((n2, n2, blk), dtype),   # Gp
+            pltpu.VMEM((n, blk), dtype),        # dp
+            pltpu.VMEM((n2, n2, blk), dtype),   # Wprev
+            pltpu.VMEM((n2, blk), dtype),       # gprev
+        ],
+    )(Gt, decay_t, bt_rows, rhs_t)
+
+    x = pl.pallas_call(
+        functools.partial(_bwd_kernel, n=n2),
+        grid=(nb, L),
+        in_specs=[
+            pl.BlockSpec((1, n2, n2, blk),
+                         lambda i, l, L=np.int32(L): (L - 1 - l, z, z, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n2, blk),
+                         lambda i, l, L=np.int32(L): (L - 1 - l, z, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n2, blk), lambda i, l, L=np.int32(L): (L - 1 - l, z, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, n2, Bp), dtype),
+        scratch_shapes=[pltpu.VMEM((n2, blk), dtype)],
+    )(W, g)
+    return x[..., :B]
+
+
 def solve_block_tridiag_lanes_pallas(lower_t, diag_t, upper_t, rhs_t):
     """Block-Thomas solve in lanes layout.
 

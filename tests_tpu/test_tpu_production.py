@@ -152,3 +152,60 @@ def test_f32_matches_f64_bench_config():
         d = np.abs(a - b.astype(np.float64)).max()
         assert np.isfinite(b).all(), lbl
         assert d < 1e-3 * scale, f"{lbl}: f32 vs f64 diff {d} (scale {scale})"
+
+
+def test_fused_bvp_assembly_matches_xla_assembly():
+    """The in-kernel BVP assembly (`solve_bvp_fused_pallas`, default on)
+    must be BITWISE equal to assembling lower/diag/upper in XLA and
+    calling the plain block-Thomas kernel: same Gauss-Jordan on the
+    same values, only the assembly location differs."""
+    import os
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from pythonic_disort_tpu.parallel import (
+        make_batched_problem, solve_fluxes, solve_intensity,
+    )
+
+    rng = np.random.default_rng(9)
+    B, L, NQ, NLA = 6, 5, 16, 24
+    tau = np.cumsum(rng.uniform(0.2, 0.8, (B, L)), axis=1)
+    omega = rng.uniform(0.4, 0.9, (B, L))
+    g = rng.uniform(0.5, 0.8, (B, L))
+    leg = g[..., None] ** np.arange(NLA)[None, None, :]
+    s_poly = rng.uniform(0.01, 0.1, (B, L, 2))
+    N = NQ // 2
+    bdrf = np.broadcast_to(
+        rng.uniform(0.1, 0.3, (B, 1, 1, 1)), (B, 1, N, N)
+    ).copy()
+    bdrf_mu0 = np.broadcast_to(bdrf[..., 0], (B, 1, N)).copy()
+    cfg = pdt.DisortConfig(
+        nquad=NQ, nleg=NQ, nleg_all=NLA, nfourier=8, nlayers=L,
+        nscoeffs=2, nbdrf=1, has_beam=True, only_flux=False,
+        has_deltam=True,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        prob = make_batched_problem(
+            cfg, tau, omega, leg, rng.uniform(0.4, 1, B),
+            np.full(B, np.pi), f_arr=leg[..., NQ],
+            s_poly_coeffs=s_poly, bdrf_modes=bdrf,
+            bdrf_modes_mu0=bdrf_mu0, dtype=jnp.float32,
+        )
+    ta = jnp.asarray(tau * (1 - 1e-6), jnp.float32)
+    ph = jnp.broadcast_to(jnp.asarray([0.3, 2.0], jnp.float32), (B, 2))
+
+    res = {}
+    for flag in ("0", "1"):
+        os.environ["PYDISORT_TPU_FUSED_BVP"] = flag
+        jax.clear_caches()
+        res[flag] = (
+            np.asarray(jax.jit(solve_intensity)(prob, ta, ph)),
+            [np.asarray(x) for x in jax.jit(solve_fluxes)(prob, ta)],
+        )
+    os.environ.pop("PYDISORT_TPU_FUSED_BVP", None)
+    np.testing.assert_array_equal(res["0"][0], res["1"][0])
+    for a, b in zip(res["0"][1], res["1"][1]):
+        np.testing.assert_array_equal(a, b)
