@@ -320,40 +320,9 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
         and _bt_use_pallas(2 * N, dtype)
     )
     if not _fused_bvp:
-        Mtop_t = jnp.concatenate(
-            [Gt[:, :, :N, :] * decay_t[:, None, :, :], Gt[:, :, N:, :]],
-            axis=2,
-        )
-        Mbot_t = jnp.concatenate(
-            [Gt[:, :, :N, :], Gt[:, :, N:, :] * decay_t[:, None, :, :]],
-            axis=2,
-        )
+        from ...ops.blocktri import assemble_bvp_blocks
 
-        if L == 1:
-            Dg_t = jnp.concatenate(
-                [Mbot_t[0, N:, :, :], Bt_rows], axis=0
-            )[None]
-            lower_t = jnp.zeros_like(Dg_t)
-            upper_t = jnp.zeros_like(Dg_t)
-        else:
-            d_top = jnp.concatenate(
-                [Mbot_t[0:1, N:, :, :], -Mbot_t[1:, N:, :, :]], axis=0
-            )
-            d_bot = jnp.concatenate(
-                [Mtop_t[: L - 1, :N, :, :], Bt_rows[None]], axis=0
-            )
-            Dg_t = jnp.concatenate([d_top, d_bot], axis=1)       # (L, 2N, 2N, NFS)
-            zN = jnp.zeros((1, N, 2 * N, NFS), dtype)
-            lower_t = jnp.concatenate(
-                [jnp.concatenate([zN, Mtop_t[: L - 1, N:, :, :]], axis=0),
-                 jnp.zeros((L, N, 2 * N, NFS), dtype)],
-                axis=1,
-            )
-            upper_t = jnp.concatenate(
-                [jnp.zeros((L, N, 2 * N, NFS), dtype),
-                 jnp.concatenate([-Mbot_t[1:, :N, :, :], zN], axis=0)],
-                axis=1,
-            )
+        lower_t, Dg_t, upper_t = assemble_bvp_blocks(Gt, decay_t, Bt_rows)
 
     # ---- RHS (reference _solve_for_coeffs.py:139-256); kept as
     # (rows, NF, S) until the final reshape so mode-0 corrections are
@@ -417,9 +386,9 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
         )
 
     if _fused_bvp:
-        from ...ops.pallas_blocktri import solve_bvp_fused_pallas
+        from ...ops.pallas_blocktri import solve_bvp_fused
 
-        C_t = solve_bvp_fused_pallas(Gt, decay_t, Bt_rows, rhs_t)
+        C_t = solve_bvp_fused(Gt, decay_t, Bt_rows, rhs_t)
     else:
         C_t = solve_block_tridiag_lanes(
             lower_t, Dg_t, upper_t, rhs_t

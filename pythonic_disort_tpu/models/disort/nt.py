@@ -237,6 +237,12 @@ def make_corrected_u(sol: DisortSolution, problem=None):
         corr = nt_correction(sol, tau_j, phi_j, False)
         return base + sol.rescale_factor * corr, ferr
 
+    @jax.jit
+    def _corrected_anti_ferr(tau_j, phi_j):
+        base, ferr = ev.u(sol, tau_j, phi_j, True, True)
+        corr = nt_correction(sol, tau_j, phi_j, True)
+        return base + sol.rescale_factor * corr, ferr
+
     def u_corrected(tau, phi, is_antiderivative_wrt_tau=False,
                     return_Fourier_error=False, return_tau_arr=False):
         tau = np.atleast_1d(tau)
@@ -248,7 +254,8 @@ def make_corrected_u(sol: DisortSolution, problem=None):
         tau_j = jnp.asarray(tau)
         phi_j = jnp.asarray(phi)
         if return_Fourier_error:
-            out, ferr = _corrected_ferr(tau_j, phi_j)
+            fn = _corrected_anti_ferr if is_antiderivative_wrt_tau else _corrected_ferr
+            out, ferr = fn(tau_j, phi_j)
             outputs = (np.squeeze(np.asarray(out))[()], float(ferr))
         elif is_antiderivative_wrt_tau:
             outputs = (np.squeeze(np.asarray(_corrected_anti(tau_j, phi_j)))[()],)

@@ -109,6 +109,49 @@ def gauss_jordan_solve_lanes(D, Aug, pivot=True):
     return a[:, n:, :]
 
 
+def assemble_bvp_blocks(Gt, decay_t, bt_rows):
+    """Materialize the BVP block-tridiagonal operands in lanes layout.
+
+    ``Gt``: (L, 2N, 2N, B) eigenvector blocks; ``decay_t``: (L, N, B)
+    homogeneous decay factors; ``bt_rows``: (N, 2N, B) BDRF-corrected
+    bottom boundary rows.  Returns ``(lower_t, diag_t, upper_t)``, each
+    (L, 2N, 2N, B).  This is the XLA reference semantics of the fused
+    in-kernel assembly (`pallas_blocktri.solve_bvp_fused`); the roles
+    correspond to the reference's banded LHS assembly
+    (reference ``_solve_for_coeffs.py:276-325``).
+    """
+    L, n2 = Gt.shape[:2]
+    N = n2 // 2
+    NFS = Gt.shape[-1]
+    dtype = Gt.dtype
+    Mtop_t = jnp.concatenate(
+        [Gt[:, :, :N, :] * decay_t[:, None, :, :], Gt[:, :, N:, :]], axis=2
+    )
+    Mbot_t = jnp.concatenate(
+        [Gt[:, :, :N, :], Gt[:, :, N:, :] * decay_t[:, None, :, :]], axis=2
+    )
+    if L == 1:
+        Dg_t = jnp.concatenate([Mbot_t[0, N:, :, :], bt_rows], axis=0)[None]
+        return jnp.zeros_like(Dg_t), Dg_t, jnp.zeros_like(Dg_t)
+    d_top = jnp.concatenate(
+        [Mbot_t[0:1, N:, :, :], -Mbot_t[1:, N:, :, :]], axis=0
+    )
+    d_bot = jnp.concatenate([Mtop_t[: L - 1, :N, :, :], bt_rows[None]], axis=0)
+    Dg_t = jnp.concatenate([d_top, d_bot], axis=1)
+    zN = jnp.zeros((1, N, n2, NFS), dtype)
+    lower_t = jnp.concatenate(
+        [jnp.concatenate([zN, Mtop_t[: L - 1, N:, :, :]], axis=0),
+         jnp.zeros((L, N, n2, NFS), dtype)],
+        axis=1,
+    )
+    upper_t = jnp.concatenate(
+        [jnp.zeros((L, N, n2, NFS), dtype),
+         jnp.concatenate([-Mbot_t[1:, :N, :, :], zN], axis=0)],
+        axis=1,
+    )
+    return lower_t, Dg_t, upper_t
+
+
 @jax.custom_vjp
 def solve_block_tridiag(lower, diag, upper, rhs):
     """Solve a block-tridiagonal system; batched over middle axes.

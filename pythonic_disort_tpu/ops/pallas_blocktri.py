@@ -275,12 +275,18 @@ def solve_bvp_fused_pallas(Gt, decay_t, bt_rows, rhs_t):
     Bp = ((B + blk - 1) // blk) * blk
     if Bp != B:
         pad = Bp - B
+        # Pad with G = I, decay = 1: the assembled diagonal is then the
+        # well-conditioned permuted identity [[0, -I], [I, 0]] in the
+        # padded lanes (decay = 0 would make every non-terminal
+        # diagonal block singular and fill the dead lanes with Inf/NaN,
+        # tripping nan-guard infrastructure even though the lanes are
+        # sliced off).
         Gt = jnp.concatenate(
             [Gt, jnp.broadcast_to(
                 jnp.eye(n2, dtype=dtype)[None, :, :, None], (L, n2, n2, pad)
             )], axis=-1)
         decay_t = jnp.concatenate(
-            [decay_t, jnp.zeros((L, n, pad), dtype)], axis=-1)
+            [decay_t, jnp.ones((L, n, pad), dtype)], axis=-1)
         bt_rows = jnp.concatenate(
             [bt_rows,
              jnp.broadcast_to(jnp.eye(n, n2, dtype=dtype)[:, :, None],
@@ -361,6 +367,51 @@ def solve_bvp_fused_pallas(Gt, decay_t, bt_rows, rhs_t):
         scratch_shapes=[pltpu.VMEM((n2, blk), dtype)],
     )(W, g)
     return x[..., :B]
+
+
+@jax.custom_vjp
+def solve_bvp_fused(Gt, decay_t, bt_rows, rhs_t):
+    """Differentiable front of `solve_bvp_fused_pallas`.
+
+    Forward is the fused Pallas kernel (assembly + block Thomas in
+    VMEM); reverse-mode materializes the equivalent lower/diag/upper
+    blocks via `blocktri.assemble_bvp_blocks` (shared with the XLA
+    path), solves the transposed system, and pulls the block
+    cotangents back through the (bi)linear assembly with ``jax.vjp`` —
+    so ``grad`` through the production batched solve works on TPU/f32
+    where the fused kernel is the default.
+    """
+    return solve_bvp_fused_pallas(Gt, decay_t, bt_rows, rhs_t)
+
+
+def _bvp_fused_vjp_fwd(Gt, decay_t, bt_rows, rhs_t):
+    x = solve_bvp_fused_pallas(Gt, decay_t, bt_rows, rhs_t)
+    return x, (Gt, decay_t, bt_rows, x)
+
+
+def _bvp_fused_vjp_bwd(res, ct):
+    from .blocktri import assemble_bvp_blocks, solve_block_tridiag_lanes
+
+    Gt, decay_t, bt_rows, x = res
+    (lower_t, diag_t, upper_t), vjp_asm = jax.vjp(
+        assemble_bvp_blocks, Gt, decay_t, bt_rows
+    )
+    T = lambda m: jnp.swapaxes(m, 1, 2)
+    zero = jnp.zeros_like(diag_t[:1])
+    lower_T = jnp.concatenate([zero, T(upper_t)[:-1]], axis=0)
+    upper_T = jnp.concatenate([T(lower_t)[1:], zero], axis=0)
+    y = solve_block_tridiag_lanes(lower_T, T(diag_t), upper_T, ct)
+    zero_x = jnp.zeros_like(x[:1])
+    x_prev = jnp.concatenate([zero_x, x[:-1]], axis=0)
+    x_next = jnp.concatenate([x[1:], zero_x], axis=0)
+    outer = lambda a, b: a[:, :, None, :] * b[:, None, :, :]
+    dG, dd, db = vjp_asm(
+        (-outer(y, x_prev), -outer(y, x), -outer(y, x_next))
+    )
+    return dG, dd, db, y
+
+
+solve_bvp_fused.defvjp(_bvp_fused_vjp_fwd, _bvp_fused_vjp_bwd)
 
 
 def solve_block_tridiag_lanes_pallas(lower_t, diag_t, upper_t, rhs_t):

@@ -47,7 +47,15 @@ def make_batched_problem(
     bdrf_modes_mu0=None,
     dtype=jnp.float32,
 ) -> DisortProblem:
-    """Assemble a batched problem pytree (leading axis = batch)."""
+    """Assemble a batched problem pytree (leading axis = batch).
+
+    Gradients w.r.t. ``mu0``: when built from concrete values the beam
+    Legendre basis ``lam_mu0`` is precomputed on the host and becomes a
+    constant leaf, so ``grad`` w.r.t. ``problem.mu0`` omits the
+    d lam(-mu0)/d mu0 term.  Build the problem inside the traced
+    function (mu0 a tracer -> device recurrence) for full geometry
+    gradients.
+    """
     B, L = np.shape(tau_arr)
     N, NF = config.n, config.nfourier
 
@@ -59,17 +67,24 @@ def make_batched_problem(
     # Host-precomputed beam phase-function basis at -mu0 (a pure
     # function of the input geometry, like the pre-evaluated BDRF
     # modes): saves the on-device Legendre degree recurrence per chunk.
-    from ..ops.legendre import normalized_assoc_legendre_host
+    # Only possible when mu0 is concrete; under a trace (problem built
+    # inside jit/grad, e.g. a retrieval differentiating geometry) fall
+    # back to the on-device recurrence (lam_mu0=None), which is also
+    # the path that keeps d lam(-mu0)/d mu0 in the autodiff graph.
+    if isinstance(mu0, jax.core.Tracer):
+        lam_mu0 = None
+    else:
+        from ..ops.legendre import normalized_assoc_legendre_host
 
-    lam_mu0 = jnp.asarray(
-        np.transpose(
-            normalized_assoc_legendre_host(
-                NF, config.nleg, -np.asarray(mu0, np.float64)
+        lam_mu0 = jnp.asarray(
+            np.transpose(
+                normalized_assoc_legendre_host(
+                    NF, config.nleg, -np.asarray(mu0, np.float64)
+                ),
+                (2, 0, 1),
             ),
-            (2, 0, 1),
-        ),
-        dtype,
-    )                                                   # (B, NF, NLeg)
+            dtype,
+        )                                               # (B, NF, NLeg)
 
     return DisortProblem(
         config=config,
@@ -162,7 +177,10 @@ def solve_intensity(problem: DisortProblem, tau_eval, phi_eval,
     Nakajima-Tanaka TMS/IMS corrections, matching the reference's
     default intensity output for delta-M problems (reference
     ``pydisort.py:375``: active when NT_cor and a beam and delta-M
-    truncation are present).
+    truncation are present).  It is a STATIC (Python bool) argument —
+    it selects which program to trace; pass it as a concrete
+    bool/None, never as a traced value (mark it static in any
+    enclosing ``jax.jit``).
     """
     sol = solve_batch(problem)
     if nt_correct is None:
