@@ -33,11 +33,11 @@ if _cache not in ("0", ""):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 NCOLS = int(os.environ.get("BENCH_COLS", 64))
-# r4 sweep on the v5e (docs/performance.md "Chunk size"): {2: 79.4,
-# 4: 109.5, 8: 106.9, 16: 105.6, 32: 103.8, 64: 100.9} columns/s —
-# small chunks win because 16 queued dispatches pipeline host->device
-# overheads; 2 is too small to fill the kernels' lane blocks.
-CHUNK_COLS = int(os.environ.get("BENCH_CHUNK_COLS", 4))
+# r5 sweep on the v5e with the H-carry fused BVP kernel: {2: 79.0,
+# 4: 157.9, 8: 173.4, 16: 168.1, 32: 164.5} columns/s — moderate
+# chunks win: queued dispatches pipeline host->device overheads while
+# filling the kernels' lane blocks (r4 optimum was 4 at 150 cols/s).
+CHUNK_COLS = int(os.environ.get("BENCH_CHUNK_COLS", 8))
 NBANDS = 128
 NLAYERS = 64
 NQUAD = 32

@@ -22,6 +22,16 @@ Pivoting matches the jnp path: per-lane partial pivoting via argmax +
 one-hot row extraction/swap (strongly peaked phase functions make
 unpivoted elimination break down — see `ops/blocktri.py`).
 
+The PRODUCTION path is `solve_bvp_fused` (r5): assembly fused in-kernel
+from G/decay (nothing but the eigenvector blocks touches HBM), the
+H-carry factorization of the structurally-zero upper block (elimination
+width 3N+1 instead of 4N+1, carried stack halved), and a no-swap
+Gauss-Jordan on a TRANSPOSED VMEM scratch whose pivot-column reads are
+axis-0 dynamic slices (54.4 -> 16.8 ms at the 2048-lane bench
+footprint across r4 -> r5).  The generic `solve_block_tridiag_lanes_
+pallas` below keeps the original row-major swap formulation and serves
+as the A/B fallback and the custom-vjp backward solver.
+
 HBM traffic for the bench config drops from ~2048 passes to: read the
 four operands once, write+read the (L, n, n, B) ``W`` stack, write
 ``x`` — ~2.7 GB ≈ 3.5 ms of v5e bandwidth, with the elimination compute
@@ -164,16 +174,73 @@ def _bwd_kernel(W_ref, g_ref, x_ref, xnext, *, n):
     xnext[...] = acc
 
 
-def _fused_fwd_kernel(g_ref, d_ref, bt_ref, rhs_ref, W_ref, gv_ref,
-                      Gc, dc, Gp, dp, Wprev, gprev, *, n2, L):
+def _gj_noswap_ref_vmem(aug_ref, n, m):
+    """No-swap pivoted Gauss-Jordan on a TRANSPOSED scratch ref.
+
+    ``aug_ref``: VMEM scratch of shape (n+m, n, blk) holding the
+    augmented system column-major (columns on axis 0).  The pivot
+    COLUMN read then is a cheap axis-0 dynamic slice instead of a
+    full-tensor masked reduction — the dominant extraction pass of the
+    r4 row-major formulation drops to an (n, blk) plane read.  No
+    physical row swaps: the per-lane pivot row stays in place (same
+    pivot sequence as swap-based partial pivoting — swapping only
+    relabels rows) and a carried permutation un-scrambles the solution
+    once at the end.  Per step: one masked pivot-row reduction + one
+    fused FMA/select read-modify-write of the ref.  Returns the
+    solution columns (m, n, blk) in true row order.
+    """
+    blk = aug_ref.shape[-1]
+    dtype = aug_ref.dtype
+    row2 = lax.broadcasted_iota(jnp.int32, (n, blk), 0)        # row ids
+    rows3 = lax.broadcasted_iota(jnp.int32, (n + m, n, blk), 1)
+    neg_inf = jnp.asarray(-jnp.inf, dtype)
+    zero = jnp.zeros((), dtype)
+
+    def body(k, carry):
+        used, perm = carry
+        colk = aug_ref[pl.ds(k, 1)][0]                         # (n, blk)
+        cand = jnp.where(used == 0, jnp.abs(colk), neg_inf)
+        r = lax.argmax(cand, axis=0, index_dtype=jnp.int32)    # (blk,)
+        onehot3 = rows3 == r[None, None, :]
+        a = aug_ref[...]
+        pivot_row = jnp.sum(jnp.where(onehot3, a, zero), axis=1)  # (n+m, blk)
+        pv = jnp.sum(jnp.where(row2 == r[None, :], colk, zero), axis=0)
+        piv = pivot_row / pv[None, :]                          # (n+m, blk)
+        aug_ref[...] = jnp.where(
+            onehot3,
+            piv[:, None, :],
+            a - piv[:, None, :] * colk[None, :, :],
+        )
+        used = jnp.where(row2 == r[None, :], jnp.int32(1), used)
+        perm = jnp.where(row2 == k, r[None, :], perm)
+        return used, perm
+
+    _, perm = lax.fori_loop(
+        jnp.int32(0),
+        jnp.int32(n),
+        body,
+        (jnp.zeros((n, blk), jnp.int32), jnp.zeros((n, blk), jnp.int32)),
+    )
+    sol = aug_ref[pl.ds(n, m)]                                 # (m, n, blk)
+    # sol[:, i] is the solution row for variable k where perm[k] = i:
+    # true[:, k] = sol[:, perm[k]] -> one-hot contraction over axis 1
+    PK = (perm[None, :, :] == lax.broadcasted_iota(
+        jnp.int32, (n, n, blk), 0)[:, :, :]).astype(dtype)     # (i, k, blk)
+    acc = sol[:, 0, :][:, None, :] * PK[0][None]
+    for i in range(1, n):
+        acc = acc + sol[:, i, :][:, None, :] * PK[i][None]
+    return acc                                                 # (m, n, blk) true order
+
+
+def _fused_fwd_kernel(g_ref, d_ref, bt_ref, rhs_ref, H_ref, gv_ref,
+                      Gc, dc, Gp, dp, Hprev, gprev, augS, *, n2, L):
     """Forward block-Thomas with the BVP block assembly fused in.
 
     Grid (nb, L+1), delayed one step: grid step ``t`` eliminates layer
-    ``l = t-1`` using G[l-1] / G[l] from VMEM scratch carries and
-    G[l+1] from this step's input block, building the lower/diag/upper
-    blocks on the fly (the XLA assembly materialized ~5 full
-    (L, 2N, 2N, NFS) tensors in HBM; here only G and the decays are
-    read).  Block structure (see `batch_solve.py` BVP assembly):
+    ``l = t-1`` using G[l-1] / G[l] from VMEM scratch carries, building
+    the lower/diag blocks on the fly (the XLA assembly materialized ~5
+    full (L, 2N, 2N, NFS) tensors in HBM; here only G and the decays
+    are read).  Block structure (see `blocktri.assemble_bvp_blocks`):
 
       Mtop_l = [G_l[:, :N] * decay_l | G_l[:, N:]]
       Mbot_l = [G_l[:, :N] | G_l[:, N:] * decay_l]
@@ -181,6 +248,18 @@ def _fused_fwd_kernel(g_ref, d_ref, bt_ref, rhs_ref, W_ref, gv_ref,
                  Mtop_l[:N] if l < L-1 else bt_rows ]
       Low_l  = [ Mtop_{l-1}[N:] ; 0 ]      (0 for l == 0)
       U_l    = [ 0 ; -Mbot_{l+1}[:N] ]     (0 for l == L-1)
+
+    H-carry: because U_l's top half is structurally ZERO, the Thomas
+    carry W_l = dhat_l^-1 U_l factors as H_l u_bot_l with
+    H_l := dhat_l^-1 [0; I_N] (the right N columns of the inverse,
+    (2N, N)) and u_bot_l = -Mbot_{l+1}[:N].  Carrying/storing H instead
+    of W (i) shrinks the Gauss-Jordan augmentation from
+    [dhat | U | rhs] (4N+1 wide) to [dhat | E_r | rhs] (3N+1) — 25%
+    fewer elimination FMAs and extraction-pass elements — and (ii)
+    halves the carried-stack HBM traffic ((L, 2N, N, B) vs
+    (L, 2N, 2N, B)).  The layer correction becomes
+    Low_l W_{l-1} = (low_top_l H_{l-1}) u_bot_{l-1}, two N-deep lane
+    matmuls at the same FLOP count as the old one.
     """
     t = pl.program_id(1)
     n = n2 // 2
@@ -193,7 +272,7 @@ def _fused_fwd_kernel(g_ref, d_ref, bt_ref, rhs_ref, W_ref, gv_ref,
         dc[...] = dn
         Gp[...] = jnp.zeros_like(Gp)
         dp[...] = jnp.zeros_like(dp)
-        Wprev[...] = jnp.zeros_like(Wprev)
+        Hprev[...] = jnp.zeros_like(Hprev)
         gprev[...] = jnp.zeros_like(gprev)
 
     @pl.when(t > 0)
@@ -225,36 +304,79 @@ def _fused_fwd_kernel(g_ref, d_ref, bt_ref, rhs_ref, W_ref, gv_ref,
             jnp.zeros_like(Gm[n:]),
             jnp.concatenate([Gm[n:, :n, :] * dm, Gm[n:, n:, :]], axis=1),
         )                                                   # (N, 2N, blk)
-        Wp = Wprev[...]
-        gp_v = gprev[...]
-        aug_prev = jnp.concatenate([Wp, gp_v[:, None, :]], axis=1)
-        corr_top = _matmul_lanes_unrolled(low_top, aug_prev, n2)  # (N, 2N+1, blk)
-        dhat = jnp.concatenate([D[:n] - corr_top[:, :n2, :], D[n:]], axis=0)
-        rhat = jnp.concatenate(
-            [r[:n] - corr_top[:, n2, :], r[n:]], axis=0
-        )                                                   # (2N, blk)
+        # u_bot_{l-1} = -Mbot_l[:N], built from the CURRENT layer's G
+        ub_prev = -jnp.concatenate(
+            [Gl[:n, :n, :], Gl[:n, n:, :] * dl], axis=1
+        )                                                   # (N, 2N, blk)
+        A = _matmul_lanes_unrolled(low_top, Hprev[...], n2)       # (N, N, blk)
+        corr_d = _matmul_lanes_unrolled(A, ub_prev, n)            # (N, 2N, blk)
+        corr_r = _matmul_lanes_unrolled(
+            low_top, gprev[...][:, None, :], n2
+        )[:, 0, :]                                          # (N, blk)
+        dhat = jnp.concatenate([D[:n] - corr_d, D[n:]], axis=0)
+        rhat = jnp.concatenate([r[:n] - corr_r, r[n:]], axis=0)
 
-        # upper block: bottom half = -Mbot_{l+1}[:N]; zero on the last
-        # layer (Gn then holds a stale block - mask it).
-        u_bot = jnp.where(
-            l == L - 1,
-            jnp.zeros_like(Gn[:n]),
-            -jnp.concatenate([Gn[:n, :n, :], Gn[:n, n:, :] * dn[None]], axis=1),
-        )
-        U = jnp.concatenate([jnp.zeros_like(u_bot), u_bot], axis=0)
+        # E_r^T = [0; I_N]^T: er_t[j, i] = (i == j + n)
+        blk = Gl.shape[-1]
+        rj = lax.broadcasted_iota(jnp.int32, (n, n2, blk), 0)
+        ci = lax.broadcasted_iota(jnp.int32, (n, n2, blk), 1)
+        er_t = (ci == rj + n).astype(Gl.dtype)
 
-        aug = jnp.concatenate([dhat, U, rhat[:, None, :]], axis=1)
-        sol = _gauss_jordan_vmem(aug, n2, n2 + 1)[:, n2:, :]
-        W = sol[:, :n2, :]
-        gv = sol[:, n2, :]
-        W_ref[0] = W
+        # column-major augmented system in the scratch ref: the GJ's
+        # pivot-column reads become axis-0 dynamic slices
+        augS[...] = jnp.concatenate(
+            [jnp.swapaxes(dhat, 0, 1), er_t, rhat[None]], axis=0
+        )                                                   # (2N+N+1, 2N, blk)
+        solT = _gj_noswap_ref_vmem(augS, n2, n + 1)         # (N+1, 2N, blk)
+        H = jnp.swapaxes(solT[:n], 0, 1)                    # (2N, N, blk)
+        gv = solT[n]
+        H_ref[0] = H
         gv_ref[0] = gv
-        Wprev[...] = W
+        Hprev[...] = H
         gprev[...] = gv
         Gp[...] = Gl
         dp[...] = dc[...]
         Gc[...] = Gn
         dc[...] = dn
+
+
+def _fused_bwd_kernel(H_ref, g_ref, gr_ref, dr_ref, x_ref,
+                      xnext, Gtop_c, d_c, *, n2):
+    """Back-substitution for the H-carry scheme (reversed layer map).
+
+    x_l = g_l - H_l (u_bot_l x_{l+1}), with
+    u_bot_l = -[G_{l+1}[:N, :N] | G_{l+1}[:N, N:] decay_{l+1}] built
+    from the carried top rows of the PREVIOUS (reversed) step's G
+    block — so the kernel streams G/decay a second time instead of a
+    (L, 2N, 2N, B) W stack: same traffic, half the forward-kernel
+    writes.
+    """
+    step = pl.program_id(1)                     # 0 -> layer L-1
+    n = n2 // 2
+    g = g_ref[0]                                            # (2N, blk)
+    Gcur = gr_ref[0]                                        # (2N, 2N, blk)
+    dcur = dr_ref[0]                                        # (N, blk)
+
+    @pl.when(step == 0)
+    def _():
+        x_ref[0] = g
+        xnext[...] = g
+        Gtop_c[...] = Gcur[:n]
+        d_c[...] = dcur
+
+    @pl.when(step > 0)
+    def _():
+        Gt_c = Gtop_c[...]                                  # (N, 2N, blk)
+        ub = -jnp.concatenate(
+            [Gt_c[:, :n, :], Gt_c[:, n:, :] * d_c[...][None]], axis=1
+        )                                                   # (N, 2N, blk)
+        xn = xnext[...]
+        v = _matmul_lanes_unrolled(ub, xn[:, None, :], n2)[:, 0, :]   # (N, blk)
+        x = g - _matmul_lanes_unrolled(H_ref[0], v[:, None, :], n)[:, 0, :]
+        x_ref[0] = x
+        xnext[...] = x
+        Gtop_c[...] = Gcur[:n]
+        d_c[...] = dcur
 
 
 def solve_bvp_fused_pallas(Gt, decay_t, bt_rows, rhs_t):
@@ -312,10 +434,10 @@ def solve_bvp_fused_pallas(Gt, decay_t, bt_rows, rhs_t):
             memory_space=pltpu.VMEM,
         )
 
-    def out_mat_spec():
+    def out_h_spec():
         # write layer l = max(t-1, 0)
         return pl.BlockSpec(
-            (1, n2, n2, blk),
+            (1, n2, n, blk),
             lambda i, t: (jnp.maximum(t - 1, 0), z, z, i),
             memory_space=pltpu.VMEM,
         )
@@ -329,13 +451,13 @@ def solve_bvp_fused_pallas(Gt, decay_t, bt_rows, rhs_t):
     bt_spec = pl.BlockSpec((n, n2, blk), lambda i, t: (z, z, i),
                            memory_space=pltpu.VMEM)
 
-    W, g = pl.pallas_call(
+    H, g = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, n2=n2, L=L),
         grid=(nb, L + 1),
         in_specs=[g_spec(), d_spec(), bt_spec, out_vec_spec()],
-        out_specs=[out_mat_spec(), out_vec_spec()],
+        out_specs=[out_h_spec(), out_vec_spec()],
         out_shape=[
-            jax.ShapeDtypeStruct((L, n2, n2, Bp), dtype),
+            jax.ShapeDtypeStruct((L, n2, n, Bp), dtype),
             jax.ShapeDtypeStruct((L, n2, Bp), dtype),
         ],
         scratch_shapes=[
@@ -343,29 +465,43 @@ def solve_bvp_fused_pallas(Gt, decay_t, bt_rows, rhs_t):
             pltpu.VMEM((n, blk), dtype),        # dc
             pltpu.VMEM((n2, n2, blk), dtype),   # Gp
             pltpu.VMEM((n, blk), dtype),        # dp
-            pltpu.VMEM((n2, n2, blk), dtype),   # Wprev
+            pltpu.VMEM((n2, n, blk), dtype),    # Hprev
             pltpu.VMEM((n2, blk), dtype),       # gprev
+            pltpu.VMEM((n2 + n + 1, n2, blk), dtype),   # augS (transposed GJ)
         ],
     )(Gt, decay_t, bt_rows, rhs_t)
 
+    def rev_spec(shape):
+        # shape includes the leading per-step layer dim of 1
+        if len(shape) == 4:
+            return pl.BlockSpec(
+                shape,
+                lambda i, l, L=np.int32(L): (L - 1 - l, z, z, i),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            shape,
+            lambda i, l, L=np.int32(L): (L - 1 - l, z, i),
+            memory_space=pltpu.VMEM,
+        )
+
     x = pl.pallas_call(
-        functools.partial(_bwd_kernel, n=n2),
+        functools.partial(_fused_bwd_kernel, n2=n2),
         grid=(nb, L),
         in_specs=[
-            pl.BlockSpec((1, n2, n2, blk),
-                         lambda i, l, L=np.int32(L): (L - 1 - l, z, z, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n2, blk),
-                         lambda i, l, L=np.int32(L): (L - 1 - l, z, i),
-                         memory_space=pltpu.VMEM),
+            rev_spec((1, n2, n, blk)),      # H stack
+            rev_spec((1, n2, blk)),         # g stack
+            rev_spec((1, n2, n2, blk)),     # G (streamed again)
+            rev_spec((1, n, blk)),          # decay
         ],
-        out_specs=pl.BlockSpec(
-            (1, n2, blk), lambda i, l, L=np.int32(L): (L - 1 - l, z, i),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=rev_spec((1, n2, blk)),
         out_shape=jax.ShapeDtypeStruct((L, n2, Bp), dtype),
-        scratch_shapes=[pltpu.VMEM((n2, blk), dtype)],
-    )(W, g)
+        scratch_shapes=[
+            pltpu.VMEM((n2, blk), dtype),       # xnext
+            pltpu.VMEM((n, n2, blk), dtype),    # Gtop carry
+            pltpu.VMEM((n, blk), dtype),        # decay carry
+        ],
+    )(H, g, Gt, decay_t)
     return x[..., :B]
 
 

@@ -67,26 +67,35 @@ def eig_counts():
 
 
 def blocktri_counts():
-    """Per (layer, lane): pivoted Gauss-Jordan on (2N, 4N+1) augmented +
-    the W_prev correction matmul (ops/pallas_blocktri.py)."""
+    """Per (layer, lane): the r5 H-carry fused kernel — no-swap pivoted
+    Gauss-Jordan on the (2N, 3N+1) augmented block [dhat | E_r | rhs],
+    the factored correction matmuls, and the G-streaming back
+    substitution (ops/pallas_blocktri.py)."""
     n = 2 * N
-    m = 2 * n + 1                            # aug width
-    # correction: (n x n) @ (n x (n+1)) FMA
-    corr_flop = 2 * n * n * (n + 1)
+    half = N
+    m = n + half + 1                         # aug width 3N+1 (was 4N+1)
+    # correction: A = low_top (N x n) @ H (n x N), corr_d = A @ u_bot
+    # (N x n), corr_r matvec — about half the old (n x n)(n x (n+1))
+    corr_flop = 2 * half * n * half + 2 * half * half * n + 2 * half * n
     corr_ops = corr_flop / 2
-    # GJ: n steps; per step ~6 masked passes over (n, m) (extract colk,
-    # argmax cand, onehot, pivot_row sum, rowk sum, 2 where-swaps) +
-    # rank-1 elimination (2 n*m FLOP) + pivot divide (m)
-    gj_flop = n * (2 * n * m + m)
-    gj_ops = n * (6 * n * m + n * m + m)
-    # backward substitution: n FMA passes over (n, blk) -> 2n^2 FLOP
-    bwd_flop = 2 * n * n
-    bwd_ops = n * n
+    # no-swap GJ: n steps; per step ~3 masked passes over (n, m)
+    # (extract colk, pivot_row sum, fused FMA+select) + rank-1
+    # elimination FLOP (2 n*m) + pivot divide (m); final one-hot
+    # un-permutation matmul over the (n, N+1) solution block
+    gj_flop = n * (2 * n * m + m) + 2 * n * n * (half + 1)
+    gj_ops = n * (3 * n * m + n * m + m) + n * n * (half + 1)
+    # backward substitution: v = u_bot @ x (N x n), x = g - H v (n x N)
+    bwd_flop = 2 * half * n + 2 * n * half
+    bwd_ops = bwd_flop / 2 + half * n        # + u_bot assembly pass
     flop = corr_flop + gj_flop + bwd_flop
     ops = corr_ops + gj_ops + bwd_ops
-    # min HBM per (layer, lane): read lower/diag/upper (3n^2) + rhs (n),
-    # write W (n^2) + g (n); bwd: read W + g, write x (n)
-    bytes_min = (3 * n * n + n + n * n + n + n * n + n + n) * F32
+    # min HBM per (layer, lane): fwd reads G (n^2) + decay (N) + rhs
+    # (n), writes H (n N) + g (n); bwd reads H + g + G + decay again,
+    # writes x (n)
+    bytes_min = (
+        (n * n + half + n + n * half + n)
+        + (n * half + n + n * n + half + n)
+    ) * F32
     return flop, ops, bytes_min
 
 

@@ -156,9 +156,11 @@ def test_f32_matches_f64_bench_config():
 
 def test_fused_bvp_assembly_matches_xla_assembly():
     """The in-kernel BVP assembly (`solve_bvp_fused_pallas`, default on)
-    must be BITWISE equal to assembling lower/diag/upper in XLA and
-    calling the plain block-Thomas kernel: same Gauss-Jordan on the
-    same values, only the assembly location differs."""
+    must match assembling lower/diag/upper in XLA and calling the plain
+    block-Thomas kernel.  (Bitwise until r5; the H-carry scheme factors
+    the Thomas carry as dhat^-1[:, N:] @ u_bot, reassociating the
+    elimination of the structurally-zero upper-block half, so parity is
+    now to f32 roundoff on the final intensities/fluxes.)"""
     import os
     import warnings
 
@@ -206,9 +208,14 @@ def test_fused_bvp_assembly_matches_xla_assembly():
             [np.asarray(x) for x in jax.jit(solve_fluxes)(prob, ta)],
         )
     os.environ.pop("PYDISORT_TPU_FUSED_BVP", None)
-    np.testing.assert_array_equal(res["0"][0], res["1"][0])
+    np.testing.assert_allclose(
+        res["0"][0], res["1"][0], rtol=2e-5,
+        atol=1e-6 * np.abs(res["0"][0]).max(),
+    )
     for a, b in zip(res["0"][1], res["1"][1]):
-        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(
+            a, b, rtol=2e-5, atol=1e-6 * np.abs(a).max()
+        )
 
 
 def test_fused_bvp_gradient_matches_xla_assembly_gradient():
@@ -256,7 +263,10 @@ def test_fused_bvp_gradient_matches_xla_assembly_gradient():
         )
     os.environ.pop("PYDISORT_TPU_FUSED_BVP", None)
     assert np.isfinite(grads["1"]).all()
+    # f32 roundoff: the fused forward reassociates the carry product
+    # (H-carry scheme), so gradients agree to single-precision noise,
+    # not bitwise (measured max rel diff ~6e-4).
     np.testing.assert_allclose(
-        grads["1"], grads["0"], rtol=2e-4,
+        grads["1"], grads["0"], rtol=2e-3,
         atol=1e-5 * np.abs(grads["0"]).max(),
     )
