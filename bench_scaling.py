@@ -66,7 +66,7 @@ def measure(nd):
 
 
 def emit(results, cpu_proxy, audit=None, samples=None, ncores=None,
-         distributed=None):
+         distributed=None, load_balance=None):
     counts = sorted(results)
     base = results[counts[0]]
     # Ideal throughput for nd devices: nd x base while each virtual
@@ -95,6 +95,8 @@ def emit(results, cpu_proxy, audit=None, samples=None, ncores=None,
         out["interior_collectives_8way"] = audit
     if distributed is not None:
         out["distributed_cluster"] = distributed
+    if load_balance is not None:
+        out["load_balance_8shard"] = load_balance
     if samples is not None:
         out["samples_columns_per_s"] = samples
     if cpu_proxy:
@@ -141,6 +143,54 @@ def audit_collectives(nd):
             line.lstrip().startswith(f"%{op}")
         )
     return counts
+
+
+def measure_shard_balance(nshards, reps=5):
+    """Per-shard step-time spread at ``nshards`` shards.
+
+    The 8-way sharded HLO contains zero interior collectives (see
+    `audit_collectives`), so on real multi-chip hardware scaling is
+    bounded ONLY by load balance across shards.  This makes that bound
+    a number: each shard's local program (identical static shapes —
+    the solve has no data-dependent work) is timed separately under
+    identical conditions; ``max/mean`` of per-shard best times is the
+    worst-case efficiency loss a synchronized step would see.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_batch
+    from pythonic_disort_tpu.parallel import solve_fluxes
+
+    ncols = 2 * nshards            # 2 cols/shard: ~3 s per CPU step
+    problem, tau_eval = build_batch(jnp.float32, ncols)
+    B = problem.tau_arr.shape[0]
+    per = B // nshards
+
+    def step(p, t):
+        fup, fdn, fdir = solve_fluxes(p, t)
+        return fup.sum() + fdn.sum() + fdir.sum()
+
+    fused = jax.jit(step)
+    shards = [
+        (jax.tree.map(lambda x: x[i * per:(i + 1) * per], problem),
+         tau_eval[i * per:(i + 1) * per])
+        for i in range(nshards)
+    ]
+    float(np.asarray(fused(*shards[0])))           # compile once
+    best = [np.inf] * nshards
+    for _ in range(reps):
+        for i, (p, t) in enumerate(shards):
+            t0 = time.perf_counter()
+            float(np.asarray(fused(p, t)))
+            best[i] = min(best[i], time.perf_counter() - t0)
+    mean_t = float(np.mean(best))
+    return {
+        "nshards": nshards,
+        "per_shard_best_s": [round(float(x), 4) for x in best],
+        "max_over_mean": round(float(np.max(best)) / mean_t, 4),
+        "balance_efficiency": round(mean_t / float(np.max(best)), 4),
+    }
 
 
 def measure_distributed_worker(coordinator, nprocs, pid):
@@ -248,6 +298,10 @@ def main():
         nd = int(sys.argv[2])
         print(f"AUDIT {json.dumps(audit_collectives(nd))}", flush=True)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--shardtime":
+        print(f"SHARDS {json.dumps(measure_shard_balance(int(sys.argv[2])))}",
+              flush=True)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--dworker":
         measure_distributed_worker(
             sys.argv[2], int(sys.argv[3]), int(sys.argv[4])
@@ -307,6 +361,24 @@ def main():
             audit = json.loads(line[len("AUDIT "):])
     log(f"interior collective audit (8-way): {audit}")
 
+    # per-shard load-balance at 8 shards (one pinned core so the
+    # number reflects shard-work spread, not scheduler noise)
+    balance = None
+    try:
+        out8 = subprocess.run(
+            ["taskset", "-c", "0", sys.executable,
+             os.path.abspath(__file__), "--shardtime", "8"],
+            env={**os.environ, "JAX_PLATFORM_NAME": "cpu"},
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        for line in out8.splitlines():
+            if line.startswith("SHARDS "):
+                balance = json.loads(line[len("SHARDS "):])
+    except Exception as e:
+        balance = {"error": f"{type(e).__name__}: {e}"}
+    log(f"8-shard load balance: {balance}")
+
     # throughput across a REAL process boundary (2-process
     # jax.distributed cluster; r3 only checked correctness there)
     dist = None
@@ -327,7 +399,7 @@ def main():
         }
     except Exception as e:                       # never lose the main artifact
         dist = {"error": f"{type(e).__name__}: {e}"}
-    emit(results, cpu_proxy=True, audit=audit,
+    emit(results, cpu_proxy=True, audit=audit, load_balance=balance,
          samples={str(k): [round(x, 3) for x in v]
                   for k, v in samples.items()},
          ncores=ncores, distributed=dist)

@@ -84,3 +84,39 @@ def test_stage_timer():
         sum(range(1000))
     rep = t.report()
     assert "a" in rep
+
+
+def test_set_kernel_flags_clears_caches(monkeypatch):
+    """The kernel-dispatch env knobs are read at TRACE time; the
+    supported mid-process flip is `config.set_kernel_flags`, which must
+    write the env var AND drop the jit caches (a raw env mutation after
+    a program is cached silently does nothing - documented in README)."""
+    import os
+
+    import jax
+
+    from pythonic_disort_tpu import config as cfg
+
+    calls = []
+    monkeypatch.setattr(jax, "clear_caches", lambda: calls.append(1))
+    monkeypatch.setenv("PYDISORT_TPU_PALLAS", "1")
+    monkeypatch.setenv("PYDISORT_TPU_FUSED_BVP", "1")
+
+    cfg.set_kernel_flags(pallas=False)
+    assert os.environ["PYDISORT_TPU_PALLAS"] == "0"
+    assert len(calls) == 1
+
+    # no-op flip (same value) must NOT drop the caches
+    cfg.set_kernel_flags(pallas=False)
+    assert len(calls) == 1
+
+    cfg.set_kernel_flags(pallas=True, fused_bvp=False)
+    assert os.environ["PYDISORT_TPU_PALLAS"] == "1"
+    assert os.environ["PYDISORT_TPU_FUSED_BVP"] == "0"
+    assert len(calls) == 2
+
+    # the dispatch predicate reads the env var at call (trace) time
+    from pythonic_disort_tpu.ops import blocktri
+
+    monkeypatch.setenv("PYDISORT_TPU_PALLAS", "0")
+    assert not blocktri._use_pallas(32, "float32")
