@@ -105,9 +105,21 @@ def jacobi_sweeps(a0, *, n, sweeps, perms, eye=None):
             dp = _perm0(d, perm)
             theta = (dp - d) * 0.5
             denom = jnp.abs(theta) + jnp.sqrt(theta * theta + offd * offd)
+            # theta == 0 EXACTLY is poison for the row-wise update: the
+            # q-member's t must be -t_p, which normally falls out of
+            # theta_q = -theta_p, but a tied pair sees theta = +0 on
+            # BOTH rows and `theta >= 0` hands both the SAME sign —
+            # a non-orthogonal "rotation" that corrupts the lane beyond
+            # repair (~1 matrix per ~1e5 random inputs; found by a
+            # 131072-lane reconstruction scan in r5).  SKIP tied pairs
+            # (t = 0): the round-robin schedule revisits the pair next
+            # sweep, by which time other rotations have moved the
+            # carried diagonals apart.  (A static per-round ±role
+            # tie-break would rotate immediately, but every iota/concat
+            # encoding of it trips Mosaic internal checks.)
             sgn = jnp.where(theta >= 0, one, -one)
             t = jnp.where(
-                jnp.abs(offd) > 0,
+                (jnp.abs(offd) > 0) & (theta != 0),
                 sgn * offd / jnp.where(denom > 0, denom, one),
                 zero,
             )

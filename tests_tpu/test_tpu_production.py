@@ -270,3 +270,30 @@ def test_fused_bvp_gradient_matches_xla_assembly_gradient():
         grads["1"], grads["0"], rtol=2e-3,
         atol=1e-5 * np.abs(grads["0"]).max(),
     )
+
+
+def test_jacobi_no_corrupt_lanes_at_production_scale():
+    """Regression: a Jacobi pair whose carried diagonals tie EXACTLY
+    (theta == 0) used to receive the SAME rotation sign on both rows
+    (the row-wise update relies on theta_q = -theta_p for the sign
+    flip), silently corrupting that lane's eigendecomposition —
+    ~1 matrix per 1e5 random inputs, i.e. about one (mode, layer, band)
+    lane per production chunk.  Tied pairs are now skipped for the
+    round (annihilated next sweep).  Scan reconstruction error over a
+    full production-scale batch."""
+    from pythonic_disort_tpu.ops import jacobi
+
+    n, B = 16, 131072
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((B, n, n)) * 0.1
+    A = jnp.asarray(
+        (base + np.swapaxes(base, -1, -2)) / 2
+        + np.eye(n) * np.linspace(1, 4, n),
+        jnp.float32,
+    )
+    w, V = jax.jit(jacobi.jacobi_eigh)(A)
+    R = jnp.einsum("bik,bk,bjk->bij", V, w, V)
+    per_mat = jnp.max(jnp.abs(R - A), axis=(1, 2))
+    n_bad = int(jnp.sum(per_mat > 1e-3))
+    assert n_bad == 0, f"{n_bad} corrupted lanes (max err {float(per_mat.max())})"
+    assert float(jnp.max(per_mat)) < 1e-4
