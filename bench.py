@@ -217,7 +217,10 @@ def main():
         ref = 1.0 / (0.00747 * (NLAYERS / 16) * 4 * NBANDS)
     # Algorithmic kernel FLOP per column (eig stage + block-Thomas at
     # 64 layers x 128 bands) — derivation in scripts/roofline.py.
-    kernel_flop_per_col = 3.876e9
+    # r5: the H-carry BVP scheme and the 5-sweep Jacobi default REDUCE
+    # the algorithmic work per column (3.876e9 -> 3.31e9), so
+    # eff_tflops is not comparable across rounds at face value.
+    kernel_flop_per_col = 3.31e9
     out = {
         "metric": "columns/s/chip (64 layers, NQuad=32, 128 bands, flux-only f32)",
         "value": round(cols_per_s, 3),

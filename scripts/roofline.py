@@ -27,7 +27,7 @@ B = 2048                   # solves per chunk (16 cols x 128 bands)
 L = 64                     # layers
 N = 16                     # quadrature streams per hemisphere
 NF = 1                     # Fourier modes (flux-only)
-SWEEPS = 6                 # f32 Jacobi sweeps (ops/jacobi.py)
+SWEEPS = 5                 # f32 Jacobi sweeps (ops/jacobi.py, r5 default)
 
 
 def eig_counts():
