@@ -173,6 +173,54 @@ def flux_up(sol: DisortSolution, tau, antiderivative: bool = False):
     return sol.rescale_factor * flux
 
 
+def fluxes_all(sol: DisortSolution, tau, antiderivative: bool = False):
+    """``(flux_up, flux_down_diffuse, flux_down_direct)`` in one pass.
+
+    Shares the per-tau layer lookup, delta-M rescaling and homogeneous
+    exponentials between the two hemispheres (calling `flux_up` +
+    `flux_down` separately recomputes them — ~2 ms per 1024-solve
+    production chunk, device trace r5).
+    """
+    cfg = sol.config
+    tau = jnp.atleast_1d(tau)
+    l = _layer_index(sol, tau)
+    st = _scaled_tau(sol, tau, l)
+    expo = jnp.exp(_exponent(sol, l, st, sol.K[0]))
+    if antiderivative:
+        expo = expo / (sol.scale_tau[l, None] * sol.K[0][l])
+    up = jnp.einsum("tj,tj->t", sol.fvec_up[l], expo)
+    dn = jnp.einsum("tj,tj->t", sol.fvec_dn[l], expo)
+    if cfg.has_beam:
+        beam = jnp.exp(-st / sol.mu0)
+        if antiderivative:
+            beam = beam / (-sol.scale_tau / sol.mu0)[l]
+        up = up + sol.fb_up[l] * beam
+        dn = dn + sol.fb_dn[l] * beam
+    if cfg.has_iso:
+        up = up + iso_poly_eval(
+            sol.fi_up[l][:, None, :], st, sol.scale_tau[l], antiderivative
+        )[:, 0]
+        dn = dn + iso_poly_eval(
+            sol.fi_dn[l][:, None, :], st, sol.scale_tau[l], antiderivative
+        )[:, 0]
+    up = 2.0 * math.pi * up
+    diffuse = 2.0 * math.pi * dn
+    direct = jnp.zeros_like(tau)
+    if cfg.has_beam:
+        I0, mu0 = sol.I0, sol.mu0
+        if antiderivative:
+            direct = I0 * mu0 * jnp.exp(-tau / mu0) * -mu0
+            direct_scaled = I0 * mu0 * jnp.exp(-st / mu0) / (
+                -sol.scale_tau / mu0
+            )[l]
+        else:
+            direct = I0 * mu0 * jnp.exp(-tau / mu0)
+            direct_scaled = I0 * mu0 * jnp.exp(-st / mu0)
+        diffuse = diffuse + direct_scaled - direct
+    r = sol.rescale_factor
+    return r * up, r * diffuse, r * direct
+
+
 def flux_down(sol: DisortSolution, tau, antiderivative: bool = False):
     """Downward (diffuse, direct) fluxes; each (Ntau,).
 

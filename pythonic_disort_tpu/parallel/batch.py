@@ -109,11 +109,11 @@ def make_batched_problem(
 def fluxes_at(sol, tau):
     """(flux_up, flux_down_diffuse, flux_down_direct) at per-batch taus.
 
-    ``sol``: batched solution; ``tau``: (B, Ntau).
+    ``sol``: batched solution; ``tau``: (B, Ntau).  Uses the combined
+    evaluator so the layer lookup / delta-M rescale / homogeneous
+    exponentials are computed once for both hemispheres.
     """
-    fup = jax.vmap(ev.flux_up, in_axes=(0, 0))(sol, tau)
-    fdn, fdir = jax.vmap(ev.flux_down, in_axes=(0, 0))(sol, tau)
-    return fup, fdn, fdir
+    return jax.vmap(ev.fluxes_all, in_axes=(0, 0))(sol, tau)
 
 
 def solve_fluxes(problem: DisortProblem, tau_eval):
