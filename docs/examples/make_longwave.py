@@ -87,6 +87,45 @@ assert B_cold < olr < B_warm
 # net-flux divergence via the exact antiderivative (per layer)
 net = lambda t: float(flux_up(np.array([t]))) - float(flux_down(np.array([t]))[0])
 print("net flux at layer mids:", [round(net(t), 5) for t in (0.2, 0.7, 1.5, 2.7)])"""),
+    md("""## 3. On-device Planck sources (production path)
+
+The host route above uses adaptive quadrature
+(`scipy.integrate.quad_vec`).  For pod-scale spectral sweeps the Planck
+band integration runs ON DEVICE inside the compiled program:
+`ops.planck.s_poly_coeffs_from_temper` is jittable (fixed-order
+Gauss–Legendre panels anchored at the emission peak), so a temperature
+profile goes straight into a batched multi-band solve with no
+host-side source precomputation (see
+`tests/test_thermal_device.py` for the 48-layer, 3-band end-to-end
+parity test against this host route)."""),
+    code("""import jax
+import jax.numpy as jnp
+from pythonic_disort_tpu.ops.planck import s_poly_coeffs_from_temper
+from pythonic_disort_tpu.parallel import make_batched_problem, solve_fluxes
+
+@jax.jit
+def device_longwave(tau_j, temper_j):
+    s_dev = s_poly_coeffs_from_temper(tau_j, temper_j, WVNMLO, WVNMHI)
+    cfg = pdt.DisortConfig(
+        nquad=NQuad, nleg=Leg.shape[1], nleg_all=Leg.shape[1], nfourier=1,
+        nlayers=len(tau_arr), nscoeffs=2, nbdrf=0, has_beam=False,
+        only_flux=True, has_deltam=False,
+    )
+    prob = make_batched_problem(
+        cfg, tau_j[None], jnp.asarray(omega_arr)[None],
+        jnp.asarray(Leg)[None], np.zeros(1), np.zeros(1),
+        s_poly_coeffs=s_dev[None], dtype=jnp.float64,
+    )
+    return solve_fluxes(prob, tau_j[None])
+
+fup_d, fdn_d, _ = device_longwave(jnp.asarray(tau_arr), jnp.asarray(TEMPER))
+print("device-Planck flux_up at boundaries:", np.round(np.asarray(fup_d[0]), 5))
+# source-coefficient parity with the host adaptive-quadrature route
+s_dev = np.asarray(s_poly_coeffs_from_temper(
+    jnp.asarray(tau_arr), jnp.asarray(TEMPER), WVNMLO, WVNMHI))
+rel = np.abs(s_dev - s_poly).max() / np.abs(s_poly).max()
+print(f"device vs host Planck source coefficients: max rel diff {rel:.2e}")
+assert rel < 1e-6"""),
 ]
 
 nb["cells"] = cells
