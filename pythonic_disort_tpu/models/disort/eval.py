@@ -130,56 +130,29 @@ def act_dscale_reclassification(sol: DisortSolution, tau, antiderivative=False):
     return I0 * jnp.exp(-st / mu0) - I0 * jnp.exp(-tau / mu0)
 
 
-def _flux_half(sol, tau, hemi, antiderivative):
-    """One hemisphere's diffuse flux (pre-2pi/rescale); (Ntau,).
-
-    The quadrature contraction ``(mu W) @ u0_half`` is pushed THROUGH
-    the per-tau layer gather: the solve already contracted GC/B/
-    mathscr_b with the weights into per-layer (L, 2N)/(L,)/(L, Ns)
-    tables (``fvec_*``/``fb_*``/``fi_*``), so the gather moves vectors
-    instead of (Ntau, N, 2N) matrix blocks — ~16x less HBM traffic on
-    the batched eval path at identical math (linearity of the
-    quadrature sum), and the batched lanes solve
-    (`batch_solve.solve_batched`) never materializes GC at all for
-    flux-only sweeps.
-    """
-    cfg = sol.config
-    l = _layer_index(sol, tau)
-    st = _scaled_tau(sol, tau, l)
-    fvec = sol.fvec_up if hemi == "up" else sol.fvec_dn          # (L, 2N)
-    expo = jnp.exp(_exponent(sol, l, st, sol.K[0]))
-    if antiderivative:
-        expo = expo / (sol.scale_tau[l, None] * sol.K[0][l])
-    out = jnp.einsum("tj,tj->t", fvec[l], expo)
-    if cfg.has_beam:
-        bvec = sol.fb_up if hemi == "up" else sol.fb_dn          # (L,)
-        beam = bvec[l] * jnp.exp(-st / sol.mu0)
-        if antiderivative:
-            beam = beam / (-sol.scale_tau / sol.mu0)[l]
-        out = out + beam
-    if cfg.has_iso:
-        ivec = sol.fi_up if hemi == "up" else sol.fi_dn          # (L, Ns)
-        out = out + iso_poly_eval(
-            ivec[l][:, None, :], st, sol.scale_tau[l], antiderivative
-        )[:, 0]
-    return out, l, st
-
-
 def flux_up(sol: DisortSolution, tau, antiderivative: bool = False):
-    """Upward diffuse flux; (Ntau,).  Reference ``_assemble...py:446-524``."""
-    tau = jnp.atleast_1d(tau)
-    flux_half, _, _ = _flux_half(sol, tau, "up", antiderivative)
-    flux = 2.0 * math.pi * flux_half
-    return sol.rescale_factor * flux
+    """Upward diffuse flux; (Ntau,).  Reference ``_assemble...py:446-524``.
+
+    Thin view of `fluxes_all` — under jit XLA dead-code-eliminates the
+    unused downward outputs, so there is no waste in a jitted closure.
+    """
+    return fluxes_all(sol, tau, antiderivative)[0]
 
 
 def fluxes_all(sol: DisortSolution, tau, antiderivative: bool = False):
     """``(flux_up, flux_down_diffuse, flux_down_direct)`` in one pass.
 
     Shares the per-tau layer lookup, delta-M rescaling and homogeneous
-    exponentials between the two hemispheres (calling `flux_up` +
-    `flux_down` separately recomputes them — ~2 ms per 1024-solve
-    production chunk, device trace r5).
+    exponentials between the two hemispheres.  The quadrature
+    contraction ``(mu W) @ u0_half`` is pushed THROUGH the per-tau
+    layer gather: the solve already contracted GC/B/mathscr_b with the
+    weights into per-layer (L, 2N)/(L,)/(L, Ns) tables
+    (``fvec_*``/``fb_*``/``fi_*``), so the gather moves vectors
+    instead of (Ntau, N, 2N) matrix blocks — ~16x less HBM traffic on
+    the batched eval path at identical math (linearity of the
+    quadrature sum), and the batched lanes solve
+    (`batch_solve.solve_batched`) never materializes GC at all for
+    flux-only sweeps.  Reference ``_assemble...py:446-613``.
     """
     cfg = sol.config
     tau = jnp.atleast_1d(tau)
@@ -225,25 +198,12 @@ def flux_down(sol: DisortSolution, tau, antiderivative: bool = False):
     """Downward (diffuse, direct) fluxes; each (Ntau,).
 
     Reference ``_assemble...py:527-613`` including the delta-M
-    reclassification of the direct beam into the diffuse flux.
+    reclassification of the direct beam into the diffuse flux.  Thin
+    view of `fluxes_all` (the unused upward output is dead-code-
+    eliminated under jit).
     """
-    cfg = sol.config
-    tau = jnp.atleast_1d(tau)
-    flux_half, l, st = _flux_half(sol, tau, "dn", antiderivative)
-    diffuse = 2.0 * math.pi * flux_half
-    direct = jnp.zeros_like(tau)
-    if cfg.has_beam:
-        I0, mu0 = sol.I0, sol.mu0
-        if antiderivative:
-            direct = I0 * mu0 * jnp.exp(-tau / mu0) * -mu0
-            direct_scaled = I0 * mu0 * jnp.exp(-st / mu0) / (
-                -sol.scale_tau / mu0
-            )[l]
-        else:
-            direct = I0 * mu0 * jnp.exp(-tau / mu0)
-            direct_scaled = I0 * mu0 * jnp.exp(-st / mu0)
-        diffuse = diffuse + direct_scaled - direct
-    return sol.rescale_factor * diffuse, sol.rescale_factor * direct
+    _, diffuse, direct = fluxes_all(sol, tau, antiderivative)
+    return diffuse, direct
 
 
 def u(
