@@ -16,6 +16,7 @@ from .batch import (
     solve_fluxes,
     solve_fluxes_sharded,
     solve_intensity,
+    solve_intensity_sharded,
     solve_actinic,
     u0_at,
     u_at,
@@ -29,6 +30,7 @@ __all__ = [
     "initialize_distributed", "shard_batch", "count_hlo_collectives", "fluxes_at",
     "global_flux_stats", "make_batched_problem", "solve_batch",
     "solve_fluxes", "solve_fluxes_sharded", "solve_intensity",
+    "solve_intensity_sharded",
     "solve_actinic", "u0_at", "u_at", "u_corrected_at", "actinic_at",
     "SweepDriver",
 ]

@@ -272,6 +272,46 @@ def solve_fluxes_sharded(problem: DisortProblem, tau_eval, mesh,
     return fn(problem, tau_eval)
 
 
+def solve_intensity_sharded(problem: DisortProblem, tau_eval, phi_eval,
+                            mesh, axis_name="batch", nt_correct=None):
+    """`solve_intensity` with the batch axis sharded via
+    ``jax.shard_map`` — the pod-scale counterpart of
+    `solve_fluxes_sharded` for angular-output sweeps (remote sensing,
+    radiance assimilation).  Same rationale and collective-free
+    interior as the flux version (see its docstring); ``nt_correct``
+    is static, as for `solve_intensity`.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if isinstance(axis_name, str):
+        spec = P(axis_name)
+
+        def local(p, t, ph):
+            return solve_intensity(p, t, ph, nt_correct=nt_correct)
+    else:
+        spec = P(*axis_name)
+        nlead = len(axis_name)
+
+        def local(p, t, ph):
+            lead = p.tau_arr.shape[:nlead]
+
+            def flat(x):
+                return x.reshape((-1,) + x.shape[nlead:])
+
+            u = solve_intensity(
+                jax.tree.map(flat, p), flat(t), flat(ph),
+                nt_correct=nt_correct,
+            )
+            return u.reshape(lead + u.shape[1:])
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(problem, tau_eval, phi_eval)
+
+
 def global_flux_stats(fup, axis_name=None):
     """Example cross-batch diagnostic; with ``axis_name`` reduces over a
     mesh axis via a collective (psum), otherwise over the local batch."""

@@ -243,3 +243,41 @@ def test_batched_nt_corrected_intensity_matches_single():
         np.testing.assert_allclose(
             np.asarray(ub[i]), np.asarray(expected), rtol=1e-10, atol=1e-12
         )
+
+
+def test_sharded_intensity_on_mesh():
+    """`solve_intensity_sharded`: the angular-output counterpart of the
+    sharded flux production step — shard_map over the batch axis with a
+    collective-free interior, matching the unsharded program."""
+    from jax.sharding import Mesh
+
+    mesh = parallel.default_mesh()
+    B, L, nquad = 8, 3, 8
+    rng = np.random.default_rng(4)
+    thickness = rng.uniform(0.1, 1.0, (B, L))
+    tau = np.cumsum(thickness, axis=1)
+    omega = rng.uniform(0.3, 0.9, (B, L))
+    g = rng.uniform(0.4, 0.7, (B, L))
+    leg = g[..., None] ** np.arange(nquad + 1)[None, None, :]
+    cfg = pdt.DisortConfig(
+        nquad=nquad, nleg=nquad, nleg_all=nquad + 1, nfourier=4,
+        nlayers=L, nscoeffs=0, nbdrf=0, has_beam=True, only_flux=False,
+        has_deltam=True, nt_correct=True,
+    )
+    problem = parallel.make_batched_problem(
+        cfg, tau, omega, leg, rng.uniform(0.4, 1, B), np.full(B, pi),
+        f_arr=leg[..., nquad], dtype=jnp.float64,
+    )
+    ta = jnp.asarray(tau * (1 - 1e-9))
+    ph = jnp.broadcast_to(jnp.asarray([0.2, 2.1]), (B, 2))
+
+    problem_s = parallel.shard_batch(problem, mesh)
+    ta_s = parallel.shard_batch(ta, mesh)
+    ph_s = parallel.shard_batch(ph, mesh)
+    u_sharded = jax.jit(
+        lambda p, t, f: parallel.solve_intensity_sharded(p, t, f, mesh)
+    )(problem_s, ta_s, ph_s)
+    u_ref = parallel.solve_intensity(problem, ta, ph)
+    np.testing.assert_allclose(
+        np.asarray(u_sharded), np.asarray(u_ref), rtol=1e-12, atol=1e-12
+    )
