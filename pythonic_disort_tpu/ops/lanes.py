@@ -11,6 +11,14 @@ Each public op carries:
 - a ``custom_vmap`` rule folding mapped axes into the lane batch, and
 - a ``custom_vjp`` (reverse-mode) rule using the standard matrix
   calculus identities, expressed in terms of the same lanes ops.
+
+AD order: FIRST-order forward and reverse differentiation is fully
+supported through the whole solve (`tests/test_grad.py`); second-order
+(grad-of-grad) stops at these ``custom_vjp`` rules — their residual
+closures call the non-differentiable ``custom_vmap`` cores, which JAX
+cannot linearize a second time.  (The reference's
+``autograd_compatible`` mode is likewise first-order.)  Retrieval-style
+Hessians should use Gauss–Newton products of first-order Jacobians.
 """
 
 from __future__ import annotations
