@@ -47,8 +47,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import os
+
 from .jacobi import default_sweeps
-from .pallas_jacobi import _partner_perms, jacobi_sweeps, lanes_eye
+from .pallas_jacobi import (
+    _partner_perms, jacobi_sweeps, lanes_eye, onesided_sweeps,
+)
 
 LANE_BLOCK = 128
 
@@ -130,7 +134,7 @@ def _trisolve_upper_vmem(L, Z, n, blk):
 
 
 def _eig_fused_kernel(at_ref, bt_ref, k_ref, v_ref, y_ref, p_ref, q_ref,
-                      *, n, sweeps, perms):
+                      *, n, sweeps, perms, onesided=False):
     A = -at_ref[:]                                      # (n, n, blk) SPD
     blk = A.shape[-1]
     dtype = A.dtype
@@ -142,8 +146,14 @@ def _eig_fused_kernel(at_ref, bt_ref, k_ref, v_ref, y_ref, p_ref, q_ref,
     T1 = _contract_jk(A, L, n)
     M = _contract_ji(L, T1, n)
 
-    M, wv = jacobi_sweeps(M, n=n, sweeps=sweeps, perms=perms, eye=eye)
-    K2 = jnp.sum(M * eye, axis=1)                       # (n, blk)
+    if onesided:
+        # one-sided Jacobi on the rows of chol(M): row-only rotations,
+        # no transposes/resymmetrize (see pallas_jacobi.onesided_sweeps)
+        C = _cholesky_vmem(M, n, blk)
+        K2, wv = onesided_sweeps(C, n=n, sweeps=sweeps, perms=perms, eye=eye)
+    else:
+        M, wv = jacobi_sweeps(M, n=n, sweeps=sweeps, perms=perms, eye=eye)
+        K2 = jnp.sum(M * eye, axis=1)                   # (n, blk)
     K = jnp.sqrt(jnp.maximum(K2, jnp.finfo(dtype).tiny))
 
     Z = jnp.swapaxes(wv, 0, 1)                          # wv = Z^T
@@ -180,8 +190,13 @@ def eig_stage_lanes_pallas(At, Bt, sweeps=None):
         At = jnp.concatenate([At, pad], axis=-1)
         Bt = jnp.concatenate([Bt, pad], axis=-1)
 
+    # One-sided Jacobi default on (opt out: PYDISORT_TPU_EIG_ONESIDED=0;
+    # trace-time knob like PYDISORT_TPU_PALLAS — see config.set_kernel_flags
+    # docs): ~6% end-to-end headline, full 53-test TPU certification green,
+    # and relative accuracy in the small-K limit.
     kernel = functools.partial(
-        _eig_fused_kernel, n=n, sweeps=sweeps, perms=_partner_perms(n)
+        _eig_fused_kernel, n=n, sweeps=sweeps, perms=_partner_perms(n),
+        onesided=os.environ.get("PYDISORT_TPU_EIG_ONESIDED", "1") == "1",
     )
     z = np.int32(0)
     mat_spec = pl.BlockSpec((n, n, blk), lambda i: (z, z, i),
