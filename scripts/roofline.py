@@ -44,14 +44,17 @@ def eig_counts():
     # congruence M = L^T (-At) L: two n-step FMA contractions
     cong_flop = 2 * (2 * n ** 3)
     cong_ops = cong_flop / 2                 # pure FMA
-    # Jacobi: (n-1) rounds x SWEEPS; per round: 3 row passes (a, t1t,
-    # wv) of 2-FLOP/elem (c*x - s*y = 2 mul + 1 sub -> 3 FLOP, 2 ops
-    # with FMA), 1 transpose (e ops, 0 FLOP), 3 permute-concats
-    # (~3e ops, 0 FLOP), diag extractions (2e ops), pivot math (~30n/2)
+    # ONE-SIDED Jacobi on rows of chol(M) (r5 default): per round
+    # 2 row-FMA passes (C, V^T; 3 FLOP/elem, 2 ops with FMA),
+    # 2 permute-concats (2e ops, 0 FLOP), Gram dot (mult e + reduce e),
+    # pivot math (~30n/2); plus the extra Cholesky of M (counted via
+    # chol_* twice below is NOT done — add its ops here once) and the
+    # final row-norm reduction.
     rounds = (n - 1) * SWEEPS
-    jac_flop = rounds * (3 * 3 * e + 15 * (n // 2)) + SWEEPS * 2 * e
-    jac_ops = rounds * (3 * 2 * e + e + 3 * e + 2 * e + 20 * (n // 2)) \
-        + SWEEPS * 2 * e
+    jac_flop = rounds * (2 * 3 * e + e + 15 * (n // 2)) \
+        + n * (2 * e + 2 * n) + 2 * e
+    jac_ops = rounds * (2 * 2 * e + 2 * e + 2 * e + 20 * (n // 2)) \
+        + n * (4 * e + 2 * n) + 2 * e
     # back transforms: trisolve (n steps x (2 extract passes + FMA-sum
     # pass + div)), LZ + P contractions (2n^3 FLOP each), Y & Q scales
     tri_flop = n * (2 * n + n * n)           # ~n^3
