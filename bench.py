@@ -152,7 +152,12 @@ def bench_intensity():
     )
 
     def step(problem, tau_eval, phi_eval):
-        return solve_intensity(problem, tau_eval, phi_eval).sum()
+        # probe footprint is one-per-layer (layer bottoms), so the
+        # lanes-contracted boundary-probe path applies: the padded GC
+        # tensor never materializes (batch_solve.solve_batched).
+        return solve_intensity(
+            problem, tau_eval, phi_eval, probes_per_layer=True
+        ).sum()
 
     fused = jax.jit(step)
     t0 = time.perf_counter()

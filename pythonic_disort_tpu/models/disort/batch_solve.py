@@ -56,7 +56,7 @@ def _mat_lanes(A, x):
     return jnp.einsum("ikq,kq->iq", A, x)
 
 
-def solve_batched(problem: DisortProblem) -> DisortSolution:
+def solve_batched(problem: DisortProblem, boundary_probe_tau=None):
     """Solve a batch of atmospheres; all leaves carry a leading S axis.
 
     Returns a batched `DisortSolution` equal (up to roundoff) to
@@ -64,6 +64,18 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
     lanes layout on the hot path.  For ``config.only_flux`` the padded
     ``G``/``GC`` fields are ``None`` (the flux evaluators use the
     ``fvec_*``/``fb_*``/``fi_*`` tables instead).
+
+    ``boundary_probe_tau`` ((S, L), optional): one intensity probe
+    depth per layer, probe ``t`` lying inside layer ``t``.  When given,
+    the per-probe Fourier intensity modes are contracted directly from
+    the lanes tensors (the layer "gather" is the identity, so the
+    padded ``GC`` (S, NF, L, 4N^2) relayout — the intensity-path HBM
+    ceiling, see docs/performance.md — never happens; ``GC`` stays
+    ``None``) and the return becomes ``(solution, um)`` with ``um``
+    (S, NF, 2N, L): the PRE-rescale Fourier modes of u at the probes.
+    This is the production intensity fast path (reference evaluates the
+    same modes per probe via its banded ``GC`` gathers,
+    ``_assemble_intensity_and_fluxes.py:170-330``).
     """
     cfg = problem.config
     N, NF, L = cfg.n, cfg.nfourier, cfg.nlayers
@@ -394,6 +406,34 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
             lower_t, Dg_t, upper_t, rhs_t
         )                                                        # (L, 2N, NFS)
 
+    # ---- boundary-probe intensity modes, contracted in lanes ----
+    # um[t, i, (m, s)] = sum_j G[t, i, j] C[t, j] exp(K_j dt) (+ beam,
+    # iso): probe t lives in layer t, so the eval-time layer gather is
+    # the identity and the contraction reads Gt/C_t in place.
+    um_probe = None
+    if boundary_probe_tau is not None:
+        top_b = scaled_tau_with_0[:, :-1]                        # (S, L)
+        bot_b = scaled_tau_with_0[:, 1:]
+        st_b = bot_b - (tau_arr - boundary_probe_tau) * scale_tau
+        Kr = K_full.reshape(2 * N, NF, L, S)
+        # exponents <= 0 by the usual anchoring (K[:N] < 0 at the layer
+        # top, K[N:] > 0 at the bottom; derivation.md sec 8.2)
+        e_neg = Kr[:N] * (st_b - top_b).T[None, None, :, :]
+        e_pos = Kr[N:] * (st_b - bot_b).T[None, None, :, :]
+        expo_b = jnp.exp(jnp.concatenate([e_neg, e_pos], axis=0))
+        expo_t = jnp.transpose(expo_b, (2, 0, 1, 3)).reshape(
+            L, 2 * N, NFS
+        )
+        um_t = jnp.einsum("tijq,tjq->tiq", Gt, C_t * expo_t)
+        um5 = um_t.reshape(L, 2 * N, NF, S)
+        if cfg.has_beam:
+            bexp = jnp.exp(-st_b / mu0[:, None]).T               # (L, S)
+            um5 = um5 + jnp.transpose(B5, (2, 0, 1, 3)) * bexp[:, None, None, :]
+        if cfg.has_iso:
+            v_iso = iso_poly_eval(mathscr_b, st_b)               # (S, L, 2N)
+            um5 = um5.at[:, :, 0, :].add(jnp.transpose(v_iso, (1, 2, 0)))
+        um_probe = jnp.transpose(um5, (3, 2, 1, 0))              # (S, NF, 2N, L)
+
     # ---- flux tables: quadrature contraction folded in lanes ----
     # fvec[l, j] = sum_{i in hemi} (mu w)_i G[l, i, j] C[l, j]; the
     # evaluators gather these per tau instead of reading GC.
@@ -413,7 +453,9 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
     # ---- finalize to the (batched) solution pytree ----
     K_out = jnp.transpose(K_full.reshape(2 * N, NF, L, S), (3, 1, 2, 0))
     B_out = jnp.transpose(B5, (3, 1, 2, 0))                      # (S, NF, L, 2N)
-    if cfg.only_flux:
+    if cfg.only_flux or boundary_probe_tau is not None:
+        # boundary-probe mode: the intensity was already contracted in
+        # lanes above; the padded GC relayout would be pure overhead.
         G_out = None
         GC_out = None
     else:
@@ -430,7 +472,7 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
             S, NF, L, 4 * N * N
         )
 
-    return DisortSolution(
+    sol = DisortSolution(
         config=cfg,
         G=G_out,
         K=K_out,
@@ -458,3 +500,6 @@ def solve_batched(problem: DisortProblem) -> DisortSolution:
         fi_up=fi_up,
         fi_dn=fi_dn,
     )
+    if boundary_probe_tau is not None:
+        return sol, um_probe
+    return sol

@@ -166,7 +166,7 @@ def u_corrected_at(sol, tau, phi):
 
 
 def solve_intensity(problem: DisortProblem, tau_eval, phi_eval,
-                    nt_correct=None):
+                    nt_correct=None, probes_per_layer=False):
     """One fused program: batched solve + full-intensity evaluation.
 
     Returns ``u``: (B, 2N, Ntau, Nphi).  The intensity counterpart of
@@ -181,10 +181,33 @@ def solve_intensity(problem: DisortProblem, tau_eval, phi_eval,
     it selects which program to trace; pass it as a concrete
     bool/None, never as a traced value (mark it static in any
     enclosing ``jax.jit``).
+
+    ``probes_per_layer`` (STATIC bool): set True when ``tau_eval`` has
+    exactly one probe per layer with probe ``t`` inside layer ``t``
+    (the heating-rate / layer-boundary footprint, Ntau == L).  The
+    Fourier modes are then contracted inside the lanes solve
+    (`solve_batched(boundary_probe_tau=...)`): the padded per-column
+    ``GC`` tensor and its relayout/gather pipeline disappear, which is
+    both the intensity path's HBM chunk ceiling and ~17% of its device
+    time (docs/performance.md).  Results match the general path to
+    roundoff (asserted by ``tests/test_batch_solve.py``).
     """
-    sol = solve_batch(problem)
     if nt_correct is None:
         nt_correct = problem.config.nt_correct
+    if probes_per_layer:
+        from ..models.disort.nt import nt_correction
+
+        sol, um = solve_batch(problem, boundary_probe_tau=tau_eval)
+        NF = problem.config.nfourier
+        cos = jnp.cos(
+            jnp.arange(NF, dtype=um.dtype)[None, :, None]
+            * (sol.phi0[:, None, None] - phi_eval[:, None, :])
+        )                                                # (S, NF, Nphi)
+        u = jnp.einsum("smit,smp->sitp", um, cos)
+        if nt_correct:
+            u = u + jax.vmap(nt_correction)(sol, tau_eval, phi_eval)
+        return sol.rescale_factor[:, None, None, None] * u
+    sol = solve_batch(problem)
     if nt_correct:
         return u_corrected_at(sol, tau_eval, phi_eval)
     return u_at(sol, tau_eval, phi_eval)

@@ -163,3 +163,40 @@ def test_batched_grad_matches_vmapped_grad():
     np.testing.assert_allclose(
         np.asarray(g_l), np.asarray(g_v), rtol=1e-7, atol=1e-10
     )
+
+
+@pytest.mark.parametrize(
+    "nlayers,nfourier,beam,iso,bdrf,deltam",
+    [
+        (4, 4, True, False, True, True),
+        (4, 4, True, True, False, True),
+        (1, 4, True, True, True, True),
+        (4, 1, False, True, False, False),
+    ],
+)
+def test_boundary_probe_intensity_matches_general_path(
+    nlayers, nfourier, beam, iso, bdrf, deltam
+):
+    """probes_per_layer=True (lanes-contracted modes, no padded GC)
+    equals the general gather-based path at one probe per layer."""
+    from pythonic_disort_tpu.parallel.batch import solve_intensity
+
+    problem, tau = _problem(nlayers, nfourier, beam, iso, bdrf, deltam,
+                            only_flux=False)
+    tau_eval = jnp.asarray(tau * (1.0 - 1e-9))
+    S = tau.shape[0]
+    phi_eval = jnp.broadcast_to(
+        jnp.asarray([0.3, 1.7, 4.1], jnp.float64), (S, 3)
+    )
+    for ntc in (False, True) if (beam and deltam) else (False,):
+        u_gen = jax.jit(
+            solve_intensity, static_argnames=("nt_correct",)
+        )(problem, tau_eval, phi_eval, nt_correct=ntc)
+        u_fast = jax.jit(
+            solve_intensity,
+            static_argnames=("nt_correct", "probes_per_layer"),
+        )(problem, tau_eval, phi_eval, nt_correct=ntc,
+          probes_per_layer=True)
+        np.testing.assert_allclose(
+            np.asarray(u_fast), np.asarray(u_gen), rtol=1e-10, atol=1e-12
+        )
