@@ -296,13 +296,14 @@ def solve_fluxes_sharded(problem: DisortProblem, tau_eval, mesh,
 
 
 def solve_intensity_sharded(problem: DisortProblem, tau_eval, phi_eval,
-                            mesh, axis_name="batch", nt_correct=None):
+                            mesh, axis_name="batch", nt_correct=None,
+                            probes_per_layer=False):
     """`solve_intensity` with the batch axis sharded via
     ``jax.shard_map`` — the pod-scale counterpart of
     `solve_fluxes_sharded` for angular-output sweeps (remote sensing,
     radiance assimilation).  Same rationale and collective-free
     interior as the flux version (see its docstring); ``nt_correct``
-    is static, as for `solve_intensity`.
+    and ``probes_per_layer`` are static, as for `solve_intensity`.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -310,7 +311,8 @@ def solve_intensity_sharded(problem: DisortProblem, tau_eval, phi_eval,
         spec = P(axis_name)
 
         def local(p, t, ph):
-            return solve_intensity(p, t, ph, nt_correct=nt_correct)
+            return solve_intensity(p, t, ph, nt_correct=nt_correct,
+                                   probes_per_layer=probes_per_layer)
     else:
         spec = P(*axis_name)
         nlead = len(axis_name)
@@ -323,7 +325,7 @@ def solve_intensity_sharded(problem: DisortProblem, tau_eval, phi_eval,
 
             u = solve_intensity(
                 jax.tree.map(flat, p), flat(t), flat(ph),
-                nt_correct=nt_correct,
+                nt_correct=nt_correct, probes_per_layer=probes_per_layer,
             )
             return u.reshape(lead + u.shape[1:])
 
